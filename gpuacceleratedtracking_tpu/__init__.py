@@ -1,0 +1,16 @@
+"""gpuacceleratedtracking_tpu — TPU-native GNSS baseband tracking framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+coezmaden/GPUAcceleratedTracking (CUDA.jl research code for multi-antenna GNSS
+EPL correlation) plus the closed-loop tracking its Tracking.jl dependency
+provided: GPS L1 C/A + L5 code generation, synthetic signal models, fused
+Early/Prompt/Late correlation kernels, on-device DLL/PLL loops, channel banks
+sharded over TPU meshes, and a benchmark harness against the paper's real-time
+bound.
+"""
+
+__version__ = "0.1.0"
+
+from . import models, ops
+
+__all__ = ["models", "ops", "__version__"]
