@@ -11,6 +11,6 @@ bound.
 
 __version__ = "0.1.0"
 
-from . import models, ops
+from . import models, ops, tracking
 
-__all__ = ["models", "ops", "__version__"]
+__all__ = ["models", "ops", "tracking", "__version__"]

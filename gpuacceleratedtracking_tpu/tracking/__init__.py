@@ -1,0 +1,18 @@
+"""Closed-loop tracking: discriminators, loop filters, C/N0, scan-based loops."""
+
+from . import cn0, discriminators, loop_filter
+from .state import TrackConfig, TrackOutput, TrackState, init_state
+from .track import track, track_bank, track_step
+
+__all__ = [
+    "cn0",
+    "discriminators",
+    "loop_filter",
+    "TrackConfig",
+    "TrackOutput",
+    "TrackState",
+    "init_state",
+    "track",
+    "track_bank",
+    "track_step",
+]

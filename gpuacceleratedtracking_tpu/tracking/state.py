@@ -1,0 +1,154 @@
+"""Tracking state and configuration.
+
+The Tracking.jl `TrackingState` role (the reference builds one for its CPU
+baseline, `/root/reference/src/benchmarks.jl:54`), as a JAX pytree that lives
+on device across `lax.scan` steps — loop closure without host round-trips,
+which is the whole point of the TPU re-design (SURVEY.md §7 step 4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.correlator import EPLCorrelator, correlator_sample_shifts
+from ..models.system import GNSSSystem
+from . import cn0 as cn0_mod
+from .loop_filter import LoopFilterState
+from . import loop_filter
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackConfig:
+    """Static (hashable) per-channel-bank tracking configuration."""
+
+    code_frequency: float
+    code_length: int
+    center_frequency: float
+    sampling_frequency: float
+    num_samples: int                    # samples per integration block
+    intermediate_frequency: float = 0.0
+    sample_shifts: tuple = (-1, 0, 1)
+    pll_bandwidth: float = 18.0
+    pll_order: int = 3
+    dll_bandwidth: float = 1.0
+    dll_order: int = 2
+    fll_bandwidth: float = 4.0   # 0 disables the FLL assist
+    cn0_window: int = 20
+    algorithm: str = "fused_xla"
+
+    @classmethod
+    def for_system(
+        cls,
+        system: GNSSSystem,
+        sampling_frequency: float,
+        num_samples: Optional[int] = None,
+        num_correlators: int = 3,
+        preferred_code_shift: float = 0.5,
+        **kwargs,
+    ) -> "TrackConfig":
+        if num_samples is None:
+            num_samples = round(sampling_frequency * 1e-3)
+        shifts = correlator_sample_shifts(
+            system,
+            EPLCorrelator(num_correlators),
+            sampling_frequency,
+            preferred_code_shift,
+        )
+        return cls(
+            code_frequency=system.code_frequency,
+            code_length=system.code_length,
+            center_frequency=system.center_frequency,
+            sampling_frequency=sampling_frequency,
+            num_samples=int(num_samples),
+            sample_shifts=tuple(int(s) for s in shifts),
+            **kwargs,
+        )
+
+    @property
+    def integration_time(self) -> float:
+        return self.num_samples / self.sampling_frequency
+
+    @property
+    def prompt_index(self) -> int:
+        return (len(self.sample_shifts) - 1) // 2
+
+    @property
+    def spacing_chips(self) -> float:
+        """Realized early-late spacing in chips (for DLL gain normalization)."""
+        return (
+            (self.sample_shifts[-1] - self.sample_shifts[0])
+            * self.code_frequency
+            / self.sampling_frequency
+        )
+
+
+class TrackState(NamedTuple):
+    """Per-channel dynamic state (leading axes may be batched over channels)."""
+
+    prn: jnp.ndarray              # int32, 0-based
+    carrier_doppler: jnp.ndarray  # Hz
+    carrier_phase: jnp.ndarray    # rad, in [0, 2 pi)
+    code_doppler: jnp.ndarray     # chips/s offset from nominal
+    code_phase: jnp.ndarray       # chips, in [0, code_length)
+    pll_filter: LoopFilterState
+    dll_filter: LoopFilterState
+    cn0: cn0_mod.CN0State
+    ms_elapsed: jnp.ndarray       # int32
+    prev_prompt_re: jnp.ndarray   # previous block's prompt (FLL discriminator)
+    prev_prompt_im: jnp.ndarray
+
+
+class TrackOutput(NamedTuple):
+    """Per-block observables (what the reference reads back as accumulators)."""
+
+    accum_re: jnp.ndarray         # [..., L] (or [..., A, L] multi-antenna)
+    accum_im: jnp.ndarray
+    prompt_re: jnp.ndarray
+    prompt_im: jnp.ndarray
+    carrier_doppler: jnp.ndarray
+    code_doppler: jnp.ndarray
+    carrier_phase: jnp.ndarray
+    code_phase: jnp.ndarray
+    pll_error: jnp.ndarray        # cycles
+    dll_error: jnp.ndarray        # chips
+    cn0_dbhz: jnp.ndarray
+
+
+def init_state(
+    prn: int | np.ndarray,
+    carrier_doppler: float | np.ndarray = 0.0,
+    carrier_phase: float | np.ndarray = 0.0,
+    code_phase: float | np.ndarray = 0.0,
+    cn0_window: int = 20,
+) -> TrackState:
+    """Build an initial state; array arguments create a batched channel bank."""
+    prn = jnp.asarray(prn, jnp.int32)
+    batch = prn.shape
+
+    def full(v):
+        return jnp.broadcast_to(jnp.asarray(v, jnp.float32), batch)
+
+    def lf(v=0.0):
+        return LoopFilterState(full(v), full(0.0))
+
+    return TrackState(
+        prn=prn,
+        carrier_doppler=full(carrier_doppler),
+        carrier_phase=full(carrier_phase),
+        code_doppler=full(0.0),
+        code_phase=full(code_phase),
+        pll_filter=lf(),
+        dll_filter=lf(),
+        cn0=cn0_mod.CN0State(
+            jnp.zeros(batch + (cn0_window,), jnp.float32),
+            jnp.zeros(batch + (cn0_window,), jnp.float32),
+            jnp.zeros(batch, jnp.int32),
+        ),
+        ms_elapsed=jnp.zeros(batch, jnp.int32),
+        prev_prompt_re=full(0.0),
+        prev_prompt_im=full(0.0),
+    )

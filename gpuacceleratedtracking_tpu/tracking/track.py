@@ -1,0 +1,181 @@
+"""Closed-loop tracking: per-block correlate -> discriminate -> filter -> NCO.
+
+The on-device equivalent of Tracking.jl's `track` loop (which the reference's
+CPU baseline benchmarks via `Tracking.downconvert_and_correlate!`,
+`/root/reference/src/benchmarks.jl:35-80`), designed TPU-first per SURVEY.md §7
+step 4: the whole loop body is one jitted function, multi-millisecond runs are a
+`lax.scan` whose carries are the NCO phases and filter states — zero host
+round-trips — and channel banks are `vmap`/`shard_map` batches of the same
+function.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import registry
+from . import cn0 as cn0_mod
+from . import discriminators, loop_filter
+from .state import TrackConfig, TrackOutput, TrackState
+
+
+def track_step(
+    config: TrackConfig,
+    codes: jax.Array,
+    state: TrackState,
+    signal_re: jax.Array,
+    signal_im: jax.Array,
+) -> tuple[TrackState, TrackOutput]:
+    """Process one integration block for one channel.
+
+    ``signal_*``: ``[N]`` or ``[A, N]``. Multi-antenna blocks are correlated
+    per antenna; discriminators run on the antenna-summed accumulators (simple
+    beamforming; per-antenna accumulators are still reported, matching the
+    reference's ``accum[ant, corr]`` output).
+    """
+    corr = registry.get(config.algorithm)
+    t = config.integration_time
+    carrier_freq = config.intermediate_frequency + state.carrier_doppler
+    code_freq = config.code_frequency + state.code_doppler
+
+    accum_re, accum_im = corr(
+        signal_re,
+        signal_im,
+        codes,
+        state.prn,
+        carrier_freq,
+        config.sampling_frequency,
+        state.carrier_phase,
+        code_freq,
+        state.code_phase,
+        config.sample_shifts,
+        config.code_length,
+    )
+
+    # Beamform (sum) over any antenna axis for the discriminators.
+    if accum_re.ndim > 1:
+        bf_re, bf_im = accum_re.sum(axis=-2), accum_im.sum(axis=-2)
+    else:
+        bf_re, bf_im = accum_re, accum_im
+    pidx = config.prompt_index
+    prompt_re, prompt_im = bf_re[..., pidx], bf_im[..., pidx]
+
+    pll_err = discriminators.pll_costas(prompt_re, prompt_im)
+    # Early = most-advanced replica (largest positive sample shift, last tap).
+    dll_err = discriminators.dll_emle(
+        bf_re[..., -1], bf_im[..., -1], bf_re[..., 0], bf_im[..., 0],
+        config.spacing_chips,
+    )
+    # FLL assist from consecutive prompts (zeroed on the first block, where
+    # there is no previous prompt to difference against).
+    fll_err = discriminators.fll_atan2(
+        state.prev_prompt_re, state.prev_prompt_im, prompt_re, prompt_im, t
+    )
+    fll_err = jnp.where(state.ms_elapsed > 0, fll_err, 0.0)
+
+    pll_state, doppler_cmd = loop_filter.step(
+        state.pll_filter, pll_err, t, config.pll_bandwidth, config.pll_order,
+        fll_error=fll_err, fll_bandwidth=config.fll_bandwidth,
+    )
+    dll_state, code_cmd = loop_filter.step(
+        state.dll_filter, dll_err, t, config.dll_bandwidth, config.dll_order
+    )
+
+    # Carrier aiding: code Doppler follows carrier Doppler scaled into chip rate
+    # (code_frequency / center_frequency), plus the DLL's own correction.
+    new_carrier_doppler = doppler_cmd
+    new_code_doppler = (
+        code_cmd + new_carrier_doppler * config.code_frequency / config.center_frequency
+    )
+
+    # NCO phase propagation over the block just consumed (with the frequencies
+    # that generated its replicas), wrapped to keep f32 exact.
+    two_pi = jnp.float32(2 * jnp.pi)
+    carrier_phase = jnp.mod(
+        state.carrier_phase + two_pi * carrier_freq * jnp.float32(t), two_pi
+    )
+    code_phase = jnp.mod(
+        state.code_phase + code_freq * jnp.float32(t), jnp.float32(config.code_length)
+    )
+
+    cn0_state = cn0_mod.update(state.cn0, prompt_re, prompt_im)
+    cn0_dbhz = cn0_mod.estimate(cn0_state, jnp.float32(t))
+
+    new_state = TrackState(
+        prn=state.prn,
+        carrier_doppler=new_carrier_doppler,
+        carrier_phase=carrier_phase,
+        code_doppler=new_code_doppler,
+        code_phase=code_phase,
+        pll_filter=pll_state,
+        dll_filter=dll_state,
+        cn0=cn0_state,
+        ms_elapsed=state.ms_elapsed + 1,
+        prev_prompt_re=prompt_re,
+        prev_prompt_im=prompt_im,
+    )
+    output = TrackOutput(
+        accum_re=accum_re,
+        accum_im=accum_im,
+        prompt_re=prompt_re,
+        prompt_im=prompt_im,
+        carrier_doppler=new_carrier_doppler,
+        code_doppler=new_code_doppler,
+        carrier_phase=carrier_phase,
+        code_phase=code_phase,
+        pll_error=pll_err,
+        dll_error=dll_err,
+        cn0_dbhz=cn0_dbhz,
+    )
+    return new_state, output
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def track(
+    config: TrackConfig,
+    codes: jax.Array,
+    state: TrackState,
+    signal_re: jax.Array,
+    signal_im: jax.Array,
+) -> tuple[TrackState, TrackOutput]:
+    """Track a multi-block signal ``[num_blocks, ..., N]`` via `lax.scan`.
+
+    Returns the final state and per-block stacked outputs. The scan carries the
+    full loop state on device — the TPU analog of the reference's host-driven
+    per-ms kernel relaunch, with no launch gaps.
+    """
+
+    def body(st, sig):
+        sre, sim = sig
+        return track_step(config, codes, st, sre, sim)
+
+    return jax.lax.scan(body, state, (signal_re, signal_im))
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def track_bank(
+    config: TrackConfig,
+    codes: jax.Array,
+    states: TrackState,
+    signal_re: jax.Array,
+    signal_im: jax.Array,
+) -> tuple[TrackState, TrackOutput]:
+    """Track a K-channel bank over ``[num_blocks, ..., N]`` blocks.
+
+    ``states`` carries a leading channel axis ``[K]``; the signal is shared
+    across channels (one RF front-end feeding the bank, shapes ``[B, N]`` or
+    ``[B, A, N]``) — each channel wipes off its own Doppler/code phase, the
+    multi-satellite capability of the reference's 3-D kernels
+    (`/root/reference/src/algorithms.jl:637-718`) extended with closed loops.
+    """
+
+    def body(st, sig):
+        sre, sim = sig
+        step = lambda s: track_step(config, codes, s, sre, sim)
+        return jax.vmap(step)(st)
+
+    return jax.lax.scan(body, states, (signal_re, signal_im))
