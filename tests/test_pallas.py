@@ -1,0 +1,119 @@
+"""Pallas kernel tests (interpret mode on CPU) against the XLA oracle.
+
+Mirrors the reference's per-algorithm golden testsets
+(`/root/reference/test/algorithms.jl`) with the TPU algorithm registry.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpuacceleratedtracking_tpu.models import (
+    GPSL1,
+    GPSL5,
+    EPLCorrelator,
+    correlator_sample_shifts,
+    gen_signal,
+    soa,
+)
+from gpuacceleratedtracking_tpu.ops import registry
+
+GOLDEN = np.array([1476.0, 2500.0, 1476.0])
+
+
+def run(algo, system, signal, fs, shifts, *, prn=0, fcar=1500.0, phicar=0.0,
+        phicode=0.0):
+    sre, sim = soa(signal)
+    fn = jax.jit(
+        functools.partial(
+            registry.get(algo),
+            sample_shifts=tuple(int(s) for s in shifts),
+            code_length=system.code_length,
+        )
+    )
+    are, aim = fn(sre, sim, jnp.asarray(system.codes), prn, fcar, fs, phicar,
+                  system.code_frequency, phicode)
+    return np.asarray(are) + 1j * np.asarray(aim)
+
+
+@pytest.mark.parametrize("algo", ["pallas_taps", "pallas_fused"])
+class TestPallasKernels:
+    def test_golden(self, algo):
+        system = GPSL1()
+        signal, fs = gen_signal(system, 0, 1500.0, 2500)
+        shifts = correlator_sample_shifts(system, EPLCorrelator(3), fs)
+        acc = run(algo, system, signal, fs, shifts)
+        np.testing.assert_allclose(acc.real, GOLDEN, rtol=3.5e-4)
+        np.testing.assert_allclose(acc.imag, 0.0, atol=0.5)
+
+    def test_matches_oracle_offsets(self, algo):
+        system = GPSL1()
+        N = 4096
+        kwargs = dict(prn=5, fcar=-2345.0, phicar=0.9, phicode=517.3)
+        signal, fs = gen_signal(
+            system, kwargs["prn"], kwargs["fcar"], N,
+            start_code_phase=kwargs["phicode"],
+            start_carrier_phase=kwargs["phicar"],
+        )
+        shifts = correlator_sample_shifts(system, EPLCorrelator(3), fs)
+        got = run(algo, system, signal, fs, shifts, **kwargs)
+        want = run("fused_xla", system, signal, fs, shifts, **kwargs)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=0.2)
+
+    def test_multi_antenna(self, algo):
+        system = GPSL1()
+        signal, fs = gen_signal(system, 0, 1500.0, 2500, num_ants=4)
+        shifts = correlator_sample_shifts(system, EPLCorrelator(3), fs)
+        acc = run(algo, system, signal, fs, shifts)
+        assert acc.shape == (4, 3)
+        for a in range(4):
+            np.testing.assert_allclose(acc[a].real, GOLDEN, rtol=3.5e-4)
+
+    def test_seven_taps(self, algo):
+        system = GPSL1()
+        signal, fs = gen_signal(system, 0, 1500.0, 8192)
+        shifts = correlator_sample_shifts(system, EPLCorrelator(7), fs)
+        got = run(algo, system, signal, fs, shifts)
+        want = run("fused_xla", system, signal, fs, shifts)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=0.3)
+
+    def test_l5(self, algo):
+        system = GPSL5()
+        signal, fs = gen_signal(system, 3, 2000.0, 32768)
+        shifts = correlator_sample_shifts(system, EPLCorrelator(3), fs)
+        got = run(algo, system, signal, fs, shifts, prn=3, fcar=2000.0)
+        want = run("fused_xla", system, signal, fs, shifts, prn=3, fcar=2000.0)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=3.0)
+
+    def test_tile_unaligned_n(self, algo):
+        # N = 2500 (not a multiple of the 2048 tile) already covered by golden;
+        # also check a sub-tile N.
+        system = GPSL1()
+        signal, fs = gen_signal(system, 0, 500.0, 1000)
+        shifts = correlator_sample_shifts(system, EPLCorrelator(3), fs)
+        got = run(algo, system, signal, fs, shifts, fcar=500.0)
+        want = run("fused_xla", system, signal, fs, shifts, fcar=500.0)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=0.2)
+
+
+def test_registry_names():
+    names = registry.names()
+    for expected in ["fused_xla", "unfused_xla", "pallas_taps", "pallas_fused"]:
+        assert expected in names
+    with pytest.raises(KeyError):
+        registry.get("nope")
+
+
+def test_wide_span_fallback():
+    # Tap span >= 128 samples falls back to the taps kernel transparently.
+    system = GPSL1()
+    N = 131072  # 131 MHz: unit shift = 64 samples, span 7 taps = 384
+    signal, fs = gen_signal(system, 0, 1500.0, N)
+    shifts = correlator_sample_shifts(system, EPLCorrelator(7), fs)
+    assert int(max(shifts)) - int(min(shifts)) >= 128
+    got = run("pallas_fused", system, signal, fs, shifts)
+    want = run("fused_xla", system, signal, fs, shifts)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2.0)
