@@ -2,7 +2,7 @@
 
 from . import cn0, discriminators, loop_filter
 from .state import TrackConfig, TrackOutput, TrackState, init_state
-from .track import track, track_bank, track_step
+from .track import loop_update, track, track_bank, track_step
 
 __all__ = [
     "cn0",
@@ -12,6 +12,7 @@ __all__ = [
     "TrackOutput",
     "TrackState",
     "init_state",
+    "loop_update",
     "track",
     "track_bank",
     "track_step",

@@ -29,7 +29,8 @@ class LoopFilterState(NamedTuple):
 def init(value: float = 0.0) -> LoopFilterState:
     """Initial state; ``value`` seeds the velocity integrator so a loop can be
     opened at a known Doppler rate."""
-    return LoopFilterState(jnp.float32(value), jnp.float32(0.0))
+    value = jnp.asarray(value, jnp.float32)
+    return LoopFilterState(value, jnp.zeros_like(value))
 
 
 def step(

@@ -38,7 +38,6 @@ def track_step(
     reference's ``accum[ant, corr]`` output).
     """
     corr = registry.get(config.algorithm)
-    t = config.integration_time
     carrier_freq = config.intermediate_frequency + state.carrier_doppler
     code_freq = config.code_frequency + state.code_doppler
 
@@ -55,6 +54,23 @@ def track_step(
         config.sample_shifts,
         config.code_length,
     )
+    return loop_update(config, state, accum_re, accum_im)
+
+
+def loop_update(
+    config: TrackConfig,
+    state: TrackState,
+    accum_re: jax.Array,
+    accum_im: jax.Array,
+) -> tuple[TrackState, TrackOutput]:
+    """Close the loop on one block's accumulators: discriminate -> filter -> NCO.
+
+    Split out of `track_step` so distributed paths (`parallel.bank`) can feed
+    mesh-sharded correlation results into the identical loop closure.
+    """
+    t = config.integration_time
+    carrier_freq = config.intermediate_frequency + state.carrier_doppler
+    code_freq = config.code_frequency + state.code_doppler
 
     # Beamform (sum) over any antenna axis for the discriminators.
     if accum_re.ndim > 1:

@@ -1,0 +1,197 @@
+"""Distributed-layer tests on the 8-device virtual CPU mesh.
+
+The reference has no distributed tests (SURVEY.md §4); these follow the JAX
+standard practice it never needed: `xla_force_host_platform_device_count=8`
+(set in conftest) + mesh-sharded unit tests asserting bit-level agreement with
+the single-device oracle.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpuacceleratedtracking_tpu.models import (
+    GPSL1,
+    EPLCorrelator,
+    correlator_sample_shifts,
+    gen_signal,
+    soa,
+)
+from gpuacceleratedtracking_tpu.ops import registry
+from gpuacceleratedtracking_tpu import parallel
+from gpuacceleratedtracking_tpu.tracking import (
+    loop_filter,
+    TrackConfig,
+    init_state,
+    track_bank,
+)
+from gpuacceleratedtracking_tpu.parallel import (
+    channel_time_mesh,
+    correlate_sharded,
+    make_mesh,
+    track_bank_sharded,
+)
+
+
+def _oracle(system, signal, fs, shifts, **kw):
+    sre, sim = soa(signal)
+    are, aim = registry.get("fused_xla")(
+        sre, sim, jnp.asarray(system.codes), kw.get("prn", 0),
+        kw.get("fcar", 1500.0), fs, kw.get("phicar", 0.0),
+        system.code_frequency, kw.get("phicode", 0.0),
+        tuple(int(s) for s in shifts), system.code_length,
+    )
+    return np.asarray(are) + 1j * np.asarray(aim)
+
+
+class TestCorrelateSharded:
+    @pytest.mark.parametrize("num_time", [2, 4, 8])
+    def test_time_sharded_matches_oracle(self, num_time):
+        system = GPSL1()
+        N = 4096
+        kw = dict(prn=5, fcar=-2345.0, phicar=0.9, phicode=517.3)
+        signal, fs = gen_signal(
+            system, kw["prn"], kw["fcar"], N,
+            start_code_phase=kw["phicode"], start_carrier_phase=kw["phicar"],
+        )
+        shifts = tuple(int(s) for s in correlator_sample_shifts(
+            system, EPLCorrelator(3), fs))
+        mesh = make_mesh({"time": num_time})
+        sre, sim = soa(signal)
+        are, aim = jax.jit(functools.partial(
+            correlate_sharded,
+            sampling_frequency=fs,
+            sample_shifts=shifts, code_length=system.code_length, mesh=mesh,
+            nominal_code_frequency=system.code_frequency,
+        ))(sre, sim, jnp.asarray(system.codes), kw["prn"], kw["fcar"],
+           carrier_phase=kw["phicar"], code_frequency=system.code_frequency,
+           code_phase=kw["phicode"])
+        got = np.asarray(are) + 1j * np.asarray(aim)
+        want = _oracle(system, signal, fs, shifts, **kw)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=0.05)
+
+    def test_antenna_sharded_beamform(self):
+        system = GPSL1()
+        N = 2048
+        signal, fs = gen_signal(system, 0, 1500.0, N, num_ants=4)
+        shifts = tuple(int(s) for s in correlator_sample_shifts(
+            system, EPLCorrelator(3), fs))
+        mesh = make_mesh({"ant": 4, "time": 2})
+        sre, sim = soa(signal)
+        are, aim = jax.jit(functools.partial(
+            correlate_sharded,
+            sampling_frequency=fs,
+            sample_shifts=shifts, code_length=system.code_length, mesh=mesh,
+            nominal_code_frequency=system.code_frequency,
+            ant_axis="ant", beamform=True,
+        ))(sre, sim, jnp.asarray(system.codes), 0, 1500.0,
+           carrier_phase=0.0, code_frequency=system.code_frequency,
+           code_phase=0.0)
+        want = _oracle(system, signal, fs, shifts).sum(axis=0)
+        got = np.asarray(are) + 1j * np.asarray(aim)
+        assert got.shape == (3,)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=0.1)
+
+    def test_large_block_phase_advance_accuracy(self):
+        # N = 2**17 (131 MHz-class block): the f64 nominal tables must keep the
+        # sharded result on top of the single-device one.
+        system = GPSL1()
+        N = 2**17
+        signal, fs = gen_signal(system, 2, 3210.0, N, start_code_phase=3.25)
+        shifts = tuple(int(s) for s in correlator_sample_shifts(
+            system, EPLCorrelator(3), fs))
+        mesh = make_mesh({"time": 8})
+        sre, sim = soa(signal)
+        are, aim = jax.jit(functools.partial(
+            correlate_sharded,
+            sampling_frequency=fs,
+            sample_shifts=shifts, code_length=system.code_length, mesh=mesh,
+            nominal_code_frequency=system.code_frequency,
+        ))(sre, sim, jnp.asarray(system.codes), 2, 3210.0,
+           carrier_phase=0.0, code_frequency=system.code_frequency,
+           code_phase=3.25)
+        want = _oracle(system, signal, fs, shifts, prn=2, fcar=3210.0,
+                       phicode=3.25)
+        got = np.asarray(are) + 1j * np.asarray(aim)
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=5.0)
+
+
+class TestTrackBankSharded:
+    def _scenario(self, num_k=4, num_ms=40, N=2048):
+        system = GPSL1()
+        fs = N / 1e-3
+        dops = np.linspace(-2000.0, 2000.0, num_k)
+        sigs = []
+        for prn, d in enumerate(dops):
+            scale = 1.0 + d / system.center_frequency
+            s, _ = gen_signal(
+                system, prn, d, N * num_ms, duration=num_ms * 1e-3,
+                code_frequency=system.code_frequency * scale,
+                start_code_phase=37.0 * prn,
+            )
+            sigs.append(s)
+        mixed = sum(sigs[1:], sigs[0])
+        sre, sim = soa(mixed)
+        sre = sre.reshape(num_ms, N)
+        sim = sim.reshape(num_ms, N)
+        config = TrackConfig.for_system(system, fs, N)
+        states = init_state(
+            np.arange(num_k), carrier_doppler=dops,
+            code_phase=37.0 * np.arange(num_k) % system.code_length,
+        )
+        # Acquisition handoff: seed the PLL velocity integrator with the bulk
+        # Doppler so the filter holds it (its command overwrites the state).
+        states = states._replace(
+            pll_filter=loop_filter.init(jnp.asarray(dops, jnp.float32))
+        )
+        return system, config, states, sre, sim
+
+    def test_matches_unsharded_bank(self):
+        system, config, states, sre, sim = self._scenario()
+        mesh = channel_time_mesh(num_chan_shards=4, num_time_shards=2)
+        final_s, out_s = track_bank_sharded(
+            config, jnp.asarray(system.codes), states, sre, sim, mesh=mesh
+        )
+        final_u, out_u = track_bank(
+            config, jnp.asarray(system.codes), states, sre, sim
+        )
+        # psum ordering differs from the single-device sum; f32 rounding noise
+        # is amplified through the loop transient, so compare at loop scale.
+        np.testing.assert_allclose(
+            np.asarray(out_s.carrier_doppler), np.asarray(out_u.carrier_doppler),
+            rtol=1e-4, atol=0.5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_s.prompt_re), np.asarray(out_u.prompt_re),
+            rtol=5e-3, atol=10.0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(final_s.code_phase), np.asarray(final_u.code_phase),
+            rtol=1e-5, atol=1e-3,
+        )
+
+    def test_converges_sharded(self):
+        system, config, states, sre, sim = self._scenario(num_k=2, num_ms=120)
+        mesh = channel_time_mesh(num_chan_shards=2, num_time_shards=4)
+        final, out = track_bank_sharded(
+            config, jnp.asarray(system.codes), states, sre, sim, mesh=mesh
+        )
+        prompts = np.asarray(out.prompt_re)[-1]
+        assert (prompts > 1500).all(), prompts
+
+    def test_output_sharding_layout(self):
+        system, config, states, sre, sim = self._scenario(num_k=8, num_ms=4)
+        mesh = channel_time_mesh(num_chan_shards=4, num_time_shards=2)
+        final, out = track_bank_sharded(
+            config, jnp.asarray(system.codes), states, sre, sim, mesh=mesh
+        )
+        assert out.prompt_re.shape == (4, 8)
+        assert final.code_phase.shape == (8,)
+
+
+def test_make_mesh_validates_device_count():
+    with pytest.raises(ValueError):
+        parallel.make_mesh({"chan": 64})
