@@ -1,0 +1,207 @@
+"""Benchmark harness: kernel / reduction / replica benchmarks, dict-driven.
+
+Mirrors the reference's public harness surface (`run_kernel_benchmark`,
+`run_reduction_benchmark`, `run_replica_benchmark`, `add_results!`,
+`add_metadata!` — `/root/reference/src/benchmarks.jl:963-1147`,
+`src/replica_benchmarks.jl:137-147`) with the same dict-config keys
+(``processor / GNSS / num_samples / num_ants / num_correlators / algorithm``,
+`/root/reference/scripts/run_benchmarks_gpsl1.jl:5-20`).
+
+``processor`` selects the device the arrays live on: ``"TPU"`` (default
+accelerator) or ``"CPU"`` (the XLA-CPU baseline, playing the role of the
+reference's LoopVectorization SIMD path, `/root/reference/src/benchmarks.jl:35-80`).
+"""
+
+from __future__ import annotations
+
+import functools
+import platform
+import subprocess
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models import EPLCorrelator, correlator_sample_shifts, gen_signal, get_system, soa
+from ..ops import registry, replica as replica_ops
+from ..ops.reduce import get_reduction
+from .timing import TrialStats, benchmark
+
+REALTIME_BOUND_S = 1e-3  # process 1 ms of signal in under 1 ms (paper.tex:345)
+
+
+def _git_sha() -> Optional[str]:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            timeout=5, cwd=str(__import__("pathlib").Path(__file__).parent),
+        ).stdout.strip() or None
+    except Exception:
+        return None
+
+
+def add_metadata(results: dict, processor: str, algorithm: str) -> dict:
+    """Environment metadata — the `add_metadata!` analog
+    (`/root/reference/src/benchmarks.jl:11-32`)."""
+    device = jax.devices()[0]
+    results.update(
+        {
+            "os": platform.platform(),
+            "cpu_model": platform.processor() or platform.machine(),
+            "backend": jax.default_backend(),
+            "device_kind": device.device_kind,
+            "jax_version": jax.__version__,
+            "processor": processor,
+            "algorithm": algorithm,
+            "git_sha": _git_sha(),
+        }
+    )
+    return results
+
+
+def _resolve_device(processor: str):
+    if processor.upper() == "CPU":
+        return jax.local_devices(backend="cpu")[0]
+    return jax.devices()[0]
+
+
+def run_kernel_benchmark(config: dict) -> dict:
+    """Benchmark one correlator algorithm for one scenario dict.
+
+    Keys: ``GNSS`` ("GPSL1"/"GPSL5"), ``num_samples``, ``num_ants``,
+    ``num_correlators``, ``algorithm`` (registry name), ``processor``
+    ("TPU"/"CPU"), optional ``reps``/``trials``.
+    """
+    system = get_system(config["GNSS"])
+    num_samples = int(config["num_samples"])
+    num_ants = int(config.get("num_ants", 1))
+    num_correlators = int(config.get("num_correlators", 3))
+    algorithm = config.get("algorithm", "fused_xla")
+    processor = config.get("processor", "TPU")
+    reps = int(config.get("reps", 20))
+    trials = int(config.get("trials", 7))
+
+    fs = num_samples / 1e-3
+    shifts = tuple(
+        int(s)
+        for s in correlator_sample_shifts(
+            system, EPLCorrelator(num_correlators), fs
+        )
+    )
+    signal, _ = gen_signal(system, 0, 1500.0, num_samples, num_ants=num_ants)
+    sre, sim = soa(signal)
+    device = _resolve_device(processor)
+    sre, sim = jax.device_put(sre, device), jax.device_put(sim, device)
+    codes = jax.device_put(jnp.asarray(system.codes), device)
+
+    corr = functools.partial(
+        registry.get(algorithm),
+        sample_shifts=shifts,
+        code_length=system.code_length,
+    )
+
+    @jax.jit
+    def run(offsets):
+        def body(acc, off):
+            are, aim = corr(
+                sre, sim, codes, 0, 1500.0, fs, off, system.code_frequency, off
+            )
+            return acc + are.sum() + aim.sum(), None
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), offsets)
+        return total
+
+    offsets = jax.device_put(
+        jnp.linspace(0.0, 0.1, reps).astype(jnp.float32), device
+    )
+    stats = benchmark(run, offsets, trials=trials, reps=reps)
+
+    results = dict(config)
+    results.update(stats.to_dict())
+    results["realtime_ratio"] = stats.minimum / REALTIME_BOUND_S
+    results["samples_per_s"] = num_samples * num_ants / stats.minimum
+    return add_metadata(results, processor, algorithm)
+
+
+def run_reduction_benchmark(config: dict) -> dict:
+    """Benchmark a reduction fusion degree over ``[N, A, L]`` product planes.
+
+    Keys: ``num_samples``, ``num_ants``, ``num_correlators``,
+    ``algorithm`` ("pure"/"cplx"/"cplx_multi"), ``processor``.
+    Mirrors `/root/reference/src/benchmarks.jl:981-1135`.
+    """
+    num_samples = int(config["num_samples"])
+    num_ants = int(config.get("num_ants", 4))
+    num_correlators = int(config.get("num_correlators", 3))
+    algorithm = config.get("algorithm", "cplx_multi")
+    processor = config.get("processor", "TPU")
+    reps = int(config.get("reps", 20))
+    trials = int(config.get("trials", 7))
+
+    red = get_reduction(algorithm)
+    device = _resolve_device(processor)
+    shape = (num_samples, num_ants, num_correlators)
+    key = jax.random.key(0)
+    prod_re = jax.device_put(jax.random.normal(key, shape, jnp.float32), device)
+    prod_im = jax.device_put(
+        jax.random.normal(jax.random.key(1), shape, jnp.float32), device
+    )
+
+    @jax.jit
+    def run(scales):
+        def body(acc, s):
+            are, aim = red(prod_re * s, prod_im * s)
+            return acc + are.sum() + aim.sum(), None
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), scales)
+        return total
+
+    scales = jax.device_put(
+        jnp.linspace(1.0, 1.01, reps).astype(jnp.float32), device
+    )
+    stats = benchmark(run, scales, trials=trials, reps=reps)
+    results = dict(config)
+    results.update(stats.to_dict())
+    return add_metadata(results, processor, algorithm)
+
+
+def run_replica_benchmark(config: dict) -> dict:
+    """Benchmark code-replica generation: exact vs quantized-NCO lookup.
+
+    The gmem-vs-texture replica benchmark analog
+    (`/root/reference/src/replica_benchmarks.jl:1-147`): ``algorithm`` is
+    ``"exact"`` (integer floor/mod arithmetic — the global-memory path) or
+    ``"quantized"`` (fixed-point NCO — the texture-interpolant path).
+    """
+    system = get_system(config["GNSS"])
+    num_samples = int(config["num_samples"])
+    algorithm = config.get("algorithm", "exact")
+    processor = config.get("processor", "TPU")
+    reps = int(config.get("reps", 20))
+    trials = int(config.get("trials", 7))
+    fs = num_samples / 1e-3
+
+    gen = (
+        replica_ops.gen_code_replica
+        if algorithm == "exact"
+        else replica_ops.gen_code_replica_quantized
+    )
+    device = _resolve_device(processor)
+    codes = jax.device_put(jnp.asarray(system.codes), device)
+
+    @jax.jit
+    def run(phases):
+        def body(acc, phi):
+            rep = gen(
+                codes, 0, system.code_frequency, fs, phi, num_samples, -1, 1,
+                system.code_length,
+            )
+            return acc + rep.sum(), None
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), phases)
+        return total
+
+    phases = jax.device_put(
+        jnp.linspace(0.0, 0.5, reps).astype(jnp.float32), device
+    )
+    stats = benchmark(run, phases, trials=trials, reps=reps)
+    results = dict(config)
+    results.update(stats.to_dict())
+    return add_metadata(results, processor, algorithm)

@@ -1,0 +1,121 @@
+"""Benchmark figures — the `src/plots.jl` / `scripts/plot_benchmarks.jl` analog.
+
+Three figure families, all against the 1 ms real-time bound the paper plots as
+a horizontal line (`/root/reference/src/plots.jl:57`,
+`scripts/plot_benchmarks.jl:111`):
+
+- `plot_kernel_benchmarks`: processing time vs sampling frequency per
+  algorithm (the paper's 2×3 grid of GNSS × antenna/correlator configs),
+- `plot_reduction_benchmark`: grouped bars of pure/cplx/cplx_multi,
+- `plot_replica_benchmark`: log-log replica generation time, exact vs
+  quantized NCO.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+REALTIME_BOUND_S = 1e-3
+
+
+def _mpl():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def plot_kernel_benchmarks(df, out_path: str, title: Optional[str] = None):
+    """Grid of processing-time-vs-sampling-rate curves, one panel per
+    (GNSS, num_ants, num_correlators), one line per algorithm."""
+    plt = _mpl()
+    panels = sorted(
+        df.groupby(["GNSS", "num_ants", "num_correlators"]).groups.keys()
+    )
+    ncols = min(3, len(panels))
+    nrows = (len(panels) + ncols - 1) // ncols
+    fig, axes = plt.subplots(
+        nrows, ncols, figsize=(5 * ncols, 3.6 * nrows), squeeze=False
+    )
+    for ax_idx, key in enumerate(panels):
+        gnss, ants, corrs = key
+        ax = axes[ax_idx // ncols][ax_idx % ncols]
+        panel = df[
+            (df.GNSS == gnss)
+            & (df.num_ants == ants)
+            & (df.num_correlators == corrs)
+        ]
+        for algo, grp in panel.groupby("algorithm"):
+            grp = grp.sort_values("num_samples")
+            fs_mhz = grp.num_samples / 1e3  # N per 1 ms -> kHz -> MHz
+            ax.loglog(fs_mhz, grp.Minimum, marker="o", ms=3, label=algo)
+        ax.axhline(REALTIME_BOUND_S, color="k", ls="--", lw=1, label="real-time")
+        ax.set_title(f"{gnss}  M={ants}  L={corrs}", fontsize=10)
+        ax.set_xlabel("sampling rate [MHz]")
+        ax.set_ylabel("time per 1 ms block [s]")
+        ax.grid(True, which="both", alpha=0.3)
+        ax.legend(fontsize=7)
+    for j in range(len(panels), nrows * ncols):
+        axes[j // ncols][j % ncols].axis("off")
+    if title:
+        fig.suptitle(title)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
+def plot_reduction_benchmark(df, out_path: str):
+    """Grouped bars of reduction time per fusion degree vs N
+    (`/root/reference/src/plots.jl:68-135`)."""
+    plt = _mpl()
+    fig, ax = plt.subplots(figsize=(7, 4))
+    sizes = sorted(df.num_samples.unique())
+    algos = ["pure", "cplx", "cplx_multi"]
+    algos = [a for a in algos if a in set(df.algorithm)]
+    width = 0.8 / max(len(algos), 1)
+    x = np.arange(len(sizes))
+    for i, algo in enumerate(algos):
+        grp = (
+            df[df.algorithm == algo]
+            .groupby("num_samples")["Minimum"]
+            .min()
+            .reindex(sizes)
+        )
+        ax.bar(x + i * width, grp.values * 1e6, width, label=algo)
+    ax.set_xticks(x + width * (len(algos) - 1) / 2)
+    ax.set_xticklabels([f"2^{int(np.log2(s))}" for s in sizes])
+    ax.set_xlabel("num samples")
+    ax.set_ylabel("reduction time [µs]")
+    ax.set_yscale("log")
+    ax.legend()
+    ax.grid(True, axis="y", alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
+def plot_replica_benchmark(df, out_path: str):
+    """Log-log replica generation time vs sampling rate, exact vs quantized
+    (`/root/reference/src/plots.jl:1-66`)."""
+    plt = _mpl()
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for algo, grp in df.groupby("algorithm"):
+        grp = grp.sort_values("num_samples")
+        ax.loglog(
+            grp.num_samples / 1e3, grp.Minimum, marker="o", ms=3, label=algo
+        )
+    ax.axhline(REALTIME_BOUND_S, color="k", ls="--", lw=1, label="real-time")
+    ax.set_xlabel("sampling rate [MHz]")
+    ax.set_ylabel("replica generation time [s]")
+    ax.grid(True, which="both", alpha=0.3)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path

@@ -1,0 +1,74 @@
+"""Timing protocol: min-of-k trials around `jax.block_until_ready`.
+
+The TPU analog of the reference's BenchmarkTools-minimum-under-`CUDA.@sync`
+protocol (`/root/reference/paper/paper.tex:147-150`, `src/benchmarks.jl:1-9`):
+the minimum estimator rejects scheduling noise; `block_until_ready` is the
+sync fence. Per-call host→device dispatch can dwarf microsecond kernels
+(especially over a tunneled chip), so the measured callable may batch ``reps``
+inner iterations inside one jitted call and we divide time by ``reps``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import statistics
+import time
+from typing import Callable, Sequence
+
+import jax
+
+
+@dataclasses.dataclass
+class TrialStats:
+    """Min/median/mean/std/max over trials, seconds (per inner rep)."""
+
+    times: list          # raw per-rep trial times [s]
+    minimum: float
+    median: float
+    mean: float
+    std: float
+    maximum: float
+
+    @classmethod
+    def from_times(cls, times: Sequence[float]) -> "TrialStats":
+        ts = list(times)
+        return cls(
+            times=ts,
+            minimum=min(ts),
+            median=statistics.median(ts),
+            mean=statistics.fmean(ts),
+            std=statistics.stdev(ts) if len(ts) > 1 else 0.0,
+            maximum=max(ts),
+        )
+
+    def to_dict(self) -> dict:
+        return {
+            "Minimum": self.minimum,
+            "Median": self.median,
+            "Mean": self.mean,
+            "Std": self.std,
+            "Maximum": self.maximum,
+            "times": self.times,
+        }
+
+
+def benchmark(
+    fn: Callable,
+    *args,
+    trials: int = 7,
+    reps: int = 1,
+    warmup: int = 1,
+) -> TrialStats:
+    """Time ``fn(*args)`` with the min-estimator protocol.
+
+    ``reps`` declares how many inner iterations one ``fn`` call amortizes
+    (trial time is divided by it). ``warmup`` calls trigger compilation.
+    """
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append((time.perf_counter() - t0) / reps)
+    return TrialStats.from_times(times)

@@ -12,6 +12,7 @@ from .correlate import (
     correlate_fused,
     correlate_unfused,
 )
+from .reduce import get_reduction, reduce_cplx, reduce_cplx_multi, reduce_pure
 
 __all__ = [
     "gen_code_replica",
@@ -22,4 +23,8 @@ __all__ = [
     "epl_accumulate",
     "correlate_fused",
     "correlate_unfused",
+    "get_reduction",
+    "reduce_pure",
+    "reduce_cplx",
+    "reduce_cplx_multi",
 ]

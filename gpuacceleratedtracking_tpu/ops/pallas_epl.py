@@ -372,5 +372,169 @@ def correlate_pallas_fused(
     return acc_re, acc_im
 
 
+# ---------------------------------------------------------------------------
+# Kernel C: multi-channel bank — channels as a grid axis (3d_4431-analog)
+# ---------------------------------------------------------------------------
+
+
+def _bank_kernel(
+    params_ref, sre_ref, sim_ref, code2d_ref, outre_ref, outim_ref,
+    *, deltas: tuple, code_length: int, num_hi: int,
+):
+    """One (channel, tile) grid step of the fused bank correlator.
+
+    Identical math to `_fused_kernel` but the channel dimension is the
+    *leading grid axis* — the TPU answer to the reference's 3-D multi-satellite
+    launch (`/root/reference/src/algorithms.jl:637-718`, grid z = satellite).
+    Batching via the grid compiles once for any K, where `jax.vmap` of a
+    `pallas_call` re-lowers the kernel per batch element (hours at K=64).
+    """
+    k = pl.program_id(0)
+    i = pl.program_id(1)
+    # Whole [K, 4] params table rides in SMEM (TPU SMEM blocks cannot be
+    # split per grid step); each channel reads its own row.
+    f_cyc = params_ref[k, 0]
+    phi_cyc = params_ref[k, 1]
+    rho = params_ref[k, 2]
+    phi_code = params_ref[k, 3]
+    ext_rows = TILE_ROWS + 1
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (ext_rows, LANES), 0).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ext_rows, LANES), 1).astype(jnp.float32)
+    m = (i * TILE).astype(jnp.float32) + row * LANES + lane
+    p = rho * m + phi_code
+    lc = jnp.float32(code_length)
+    p = p - lc * jnp.floor(p / lc)
+    idx = jnp.clip(p.astype(jnp.int32), 0, code_length - 1)
+    hi = jax.lax.div(idx, LANES)
+    lo = jax.lax.rem(idx, LANES)
+
+    onehot = (
+        lo[:, :, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (ext_rows, LANES, LANES), 2)
+    ).astype(jnp.float32)
+    w = jax.lax.dot_general(
+        onehot,
+        code2d_ref[0],
+        (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    sel = (
+        hi[:, :, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (ext_rows, LANES, num_hi), 2)
+    )
+    rep = jnp.sum(jnp.where(sel, w, 0.0), axis=2)
+
+    cos, sin = _carrier_tile(i, TILE_ROWS, f_cyc, phi_cyc)
+    sre = sre_ref[...]
+    sim = sim_ref[...]
+    dw_re = sre * cos + sim * sin
+    dw_im = sim * cos - sre * sin
+
+    @pl.when(i == 0)
+    def _():
+        outre_ref[...] = jnp.zeros_like(outre_ref)
+        outim_ref[...] = jnp.zeros_like(outim_ref)
+
+    for l, delta in enumerate(deltas):
+        tap = _flat_shift(rep, delta)[:TILE_ROWS]
+        outre_ref[0, :, l] += jnp.sum(dw_re * tap, axis=(1, 2))
+        outim_ref[0, :, l] += jnp.sum(dw_im * tap, axis=(1, 2))
+
+
+def correlate_pallas_bank(
+    signal_re: jax.Array,
+    signal_im: jax.Array,
+    codes: jax.Array,
+    prn: jax.Array,
+    carrier_frequency: jax.Array,
+    sampling_frequency,
+    carrier_phase: jax.Array,
+    code_frequency: jax.Array,
+    code_phase: jax.Array,
+    sample_shifts: Sequence[int],
+    code_length: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused EPL correlation of one shared front-end block against K channels.
+
+    ``prn / carrier_frequency / carrier_phase / code_frequency / code_phase``
+    are ``[K]`` arrays (one satellite channel each); ``signal_*`` is ``[N]`` or
+    ``[A, N]`` shared by all channels. Returns ``[K, A, L]`` (or ``[K, L]``)
+    accumulators. Requires tap span < 128 samples.
+    """
+    span = int(max(sample_shifts)) - int(min(sample_shifts))
+    if span >= LANES:
+        raise ValueError(
+            f"tap span {span} >= {LANES}; use the XLA bank path for wide spans"
+        )
+    squeeze = signal_re.ndim == 1
+    if squeeze:
+        signal_re, signal_im = signal_re[None], signal_im[None]
+    num_ants, num_samples = signal_re.shape
+    num_taps = len(sample_shifts)
+    d_min = int(min(sample_shifts))
+    deltas = tuple(int(d) - d_min for d in sample_shifts)
+    num_k = prn.shape[0]
+
+    num_hi = pl.cdiv(code_length, LANES)
+    code_cols = jnp.take(codes.T, jnp.asarray(prn), axis=0)        # [K, Lc]
+    code2d = _pad_to(code_cols, num_hi * LANES).reshape(num_k, num_hi, LANES)
+
+    num_tiles = pl.cdiv(num_samples, TILE)
+    n_pad = num_tiles * TILE
+    sre = _pad_to(signal_re, n_pad).reshape(num_ants, -1, LANES)
+    sim = _pad_to(signal_im, n_pad).reshape(num_ants, -1, LANES)
+
+    rho = jnp.asarray(code_frequency, jnp.float32) / jnp.float32(sampling_frequency)
+    params = jnp.stack(
+        [
+            jnp.asarray(carrier_frequency, jnp.float32)
+            / jnp.float32(sampling_frequency),
+            jnp.asarray(carrier_phase, jnp.float32) / jnp.float32(_TWO_PI),
+            rho,
+            jnp.asarray(code_phase, jnp.float32) + rho * jnp.float32(d_min),
+        ],
+        axis=-1,
+    )                                                               # [K, 4]
+
+    grid_spec = pl.GridSpec(
+        grid=(num_k, num_tiles),
+        in_specs=[
+            pl.BlockSpec((num_k, 4), lambda k, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((num_ants, TILE_ROWS, LANES), lambda k, i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_ants, TILE_ROWS, LANES), lambda k, i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_hi, LANES), lambda k, i: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, num_ants, num_taps), lambda k, i: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_ants, num_taps), lambda k, i: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((num_k, num_ants, num_taps), jnp.float32),
+        jax.ShapeDtypeStruct((num_k, num_ants, num_taps), jnp.float32),
+    )
+    kernel = functools.partial(
+        _bank_kernel, deltas=deltas, code_length=int(code_length),
+        num_hi=int(num_hi),
+    )
+    acc_re, acc_im = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(params, sre, sim, code2d)
+    if squeeze:
+        acc_re, acc_im = acc_re[:, 0], acc_im[:, 0]
+    return acc_re, acc_im
+
+
 registry.register("pallas_taps", correlate_pallas_taps)
 registry.register("pallas_fused", correlate_pallas_fused)
+registry.register("pallas_bank", correlate_pallas_bank)

@@ -108,7 +108,10 @@ def gen_code_replica_quantized(
         jnp.float32(start_code_phase)
         + jnp.float32(code_frequency / sampling_frequency) * jnp.float32(min_shift)
     )
-    q = jnp.floor(phase * scale) / scale
+    # Round-to-nearest on the fixed-point grid, matching the texture unit's
+    # nearest-neighbour coordinate snap (a floor here could never cross a chip
+    # boundary and would be error-free by construction).
+    q = jnp.round(phase * scale) / scale
     chip_idx = jnp.mod(jnp.floor(q).astype(jnp.int32), code_length)
     cols = jnp.take(codes.T, jnp.asarray(prn), axis=0)
     return jnp.take(cols, chip_idx, axis=-1)

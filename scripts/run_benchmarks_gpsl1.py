@@ -1,0 +1,28 @@
+#!/usr/bin/env python
+"""GPS L1 kernel benchmark sweep — `/root/reference/scripts/run_benchmarks_gpsl1.jl` analog.
+
+Sweep: N = 2^11..2^18 samples per 1 ms (2–262 MHz), M ∈ {1, 4}, L ∈ {3, 7},
+all registered correlator algorithms, TPU + XLA-CPU baseline. Each config is
+saved immediately (resume-safe) under data/benchmarks/kernel/.
+"""
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+from gpuacceleratedtracking_tpu.bench import run_kernel_benchmark, run_sweep
+from gpuacceleratedtracking_tpu.ops import registry
+
+params = {
+    "GNSS": "GPSL1",
+    "num_samples": [2**e for e in range(11, 19)],
+    "num_ants": [1, 4],
+    "num_correlators": [3, 7],
+    "algorithm": registry.names(),
+    "processor": ["TPU", "CPU"],
+}
+
+if __name__ == "__main__":
+    out = pathlib.Path(__file__).parent.parent / "data" / "benchmarks" / "kernel"
+    run_sweep(params, run_kernel_benchmark, out, prefix="KernelBenchmark")

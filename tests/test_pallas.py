@@ -99,9 +99,73 @@ class TestPallasKernels:
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=0.2)
 
 
+class TestBankKernel:
+    def _bank(self, system, sre, sim, fs, shifts, prns, dops, phases=None):
+        import jax.numpy as jnp
+        from gpuacceleratedtracking_tpu.ops.pallas_epl import correlate_pallas_bank
+
+        K = len(prns)
+        phases = jnp.zeros(K) if phases is None else jnp.asarray(phases)
+        fn = jax.jit(functools.partial(
+            correlate_pallas_bank, sample_shifts=tuple(int(s) for s in shifts),
+            code_length=system.code_length,
+        ))
+        return fn(
+            sre, sim, jnp.asarray(system.codes), jnp.asarray(prns, jnp.int32),
+            1500.0 + jnp.asarray(dops, jnp.float32), fs, phases,
+            jnp.full((K,), system.code_frequency, jnp.float32), phases,
+        )
+
+    def test_matches_per_channel_oracle(self):
+        system = GPSL1()
+        N = 4096
+        fs = N / 1e-3
+        prns = np.arange(4)
+        dops = np.linspace(-3000.0, 3000.0, 4)
+        sigs = [gen_signal(system, int(p), float(d), N)[0]
+                for p, d in zip(prns, dops)]
+        mixed = sum(sigs[1:], sigs[0])
+        sre, sim = soa(mixed)
+        shifts = correlator_sample_shifts(system, EPLCorrelator(3), fs)
+        are, aim = self._bank(system, sre, sim, fs, shifts, prns, dops)
+        assert are.shape == (4, 3)
+        oracle = registry.get("fused_xla")
+        for k in range(4):
+            wre, wim = oracle(
+                sre, sim, jnp.asarray(system.codes), int(prns[k]),
+                1500.0 + float(dops[k]), fs, 0.0, system.code_frequency, 0.0,
+                tuple(int(s) for s in shifts), system.code_length,
+            )
+            np.testing.assert_allclose(np.asarray(are)[k], np.asarray(wre),
+                                       rtol=1e-3, atol=0.5)
+            np.testing.assert_allclose(np.asarray(aim)[k], np.asarray(wim),
+                                       rtol=1e-3, atol=0.5)
+
+    def test_multi_antenna_bank(self):
+        system = GPSL1()
+        signal, fs = gen_signal(system, 0, 1500.0, 2500, num_ants=2)
+        sre, sim = soa(signal)
+        shifts = correlator_sample_shifts(system, EPLCorrelator(3), fs)
+        are, aim = self._bank(system, sre, sim, fs, shifts, [0, 0], [0.0, 0.0])
+        assert are.shape == (2, 2, 3)
+        for k in range(2):
+            for a in range(2):
+                np.testing.assert_allclose(np.asarray(are)[k, a], GOLDEN,
+                                           rtol=3.5e-4)
+
+    def test_wide_span_raises(self):
+        system = GPSL1()
+        signal, fs = gen_signal(system, 0, 1500.0, 131072)
+        sre, sim = soa(signal)
+        shifts = correlator_sample_shifts(system, EPLCorrelator(7), fs)
+        with pytest.raises(ValueError):
+            self._bank(system, sre, sim, fs, shifts, [0], [0.0])
+
+
 def test_registry_names():
     names = registry.names()
-    for expected in ["fused_xla", "unfused_xla", "pallas_taps", "pallas_fused"]:
+    for expected in ["fused_xla", "unfused_xla", "pallas_taps", "pallas_fused",
+                     "pallas_bank"]:
         assert expected in names
     with pytest.raises(KeyError):
         registry.get("nope")
