@@ -5,14 +5,16 @@ Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline"}``.
 
 Protocol follows the reference's (BenchmarkTools minimum estimator under
 ``CUDA.@sync``, `/root/reference/paper/paper.tex:147-150`): min-of-k trials
-around `jax.block_until_ready`, with per-call dispatch amortized by scanning
-many correlation blocks inside one jitted call (mandatory over the tunnel,
-~25 ms/dispatch).
+around `jax.block_until_ready`. Per-call dispatch is amortized by enqueueing
+``REPS`` async dispatches back-to-back and blocking once (TPU streams execute
+in order). NOTE: do NOT wrap the pallas_call in `lax.scan` for timing — on
+this backend that multiplies compile time by minutes.
 
 Baseline: the reference's best single-channel real-time figure, ~100 MHz
 (1e8 samples/s) EPL on a GTX 1050 Ti (`/root/reference/paper/paper.tex:345`).
 ``vs_baseline`` is the speedup of this chip's aggregate correlator throughput
-over that bound.
+over that bound. The flagship config is a 1024-channel GPS L1 bank at
+32.768 MHz sampling — the north-star scenario (BASELINE.md) on one chip.
 """
 
 import functools
@@ -20,15 +22,15 @@ import json
 import os
 import time
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
-NUM_CHANNELS = int(os.environ.get("BENCH_CHANNELS", "64"))
+NUM_CHANNELS = int(os.environ.get("BENCH_CHANNELS", "1024"))
 NUM_SAMPLES = int(os.environ.get("BENCH_SAMPLES", "32768"))
-REPS = int(os.environ.get("BENCH_REPS", "50"))
+REPS = int(os.environ.get("BENCH_REPS", "20"))
 TRIALS = int(os.environ.get("BENCH_TRIALS", "5"))
 ALGORITHM = os.environ.get("BENCH_ALGO", "pallas_bank")
+TILE_ROWS = int(os.environ.get("BENCH_TILE_ROWS", "256"))
 BASELINE_SAMPLES_PER_S = 1e8
 
 
@@ -51,53 +53,63 @@ def main():
         int(s)
         for s in correlator_sample_shifts(system, EPLCorrelator(3), fs)
     )
-    corr = functools.partial(
-        registry.get(ALGORITHM),
-        sample_shifts=shifts,
-        code_length=system.code_length,
-    )
 
     prns = jnp.arange(NUM_CHANNELS, dtype=jnp.int32) % codes.shape[1]
     dopplers = jnp.linspace(-4000.0, 4000.0, NUM_CHANNELS).astype(jnp.float32)
-
     code_freqs = jnp.full((NUM_CHANNELS,), system.code_frequency, jnp.float32)
+    zeros = jnp.zeros(NUM_CHANNELS, jnp.float32)
 
-    def bank(phase_offset):
-        # One front-end block correlated against NUM_CHANNELS channels.
-        if ALGORITHM == "pallas_bank":
-            # Channels ride the kernel grid: one lowering for any K. vmap of a
-            # pallas_call re-lowers per channel (catastrophic compile time).
-            phases = jnp.full((NUM_CHANNELS,), phase_offset, jnp.float32)
-            return corr(
-                sre, sim, codes, prns, 1500.0 + dopplers, fs,
-                phases, code_freqs, phases,
+    if ALGORITHM.startswith("pallas_bank"):
+        fn = jax.jit(
+            functools.partial(
+                registry.get(ALGORITHM),
+                sample_shifts=shifts,
+                code_length=system.code_length,
+                sampling_frequency=fs,
+                tile_rows=TILE_ROWS,
+                **(
+                    {"nominal_code_frequency": system.code_frequency}
+                    if ALGORITHM == "pallas_bank"
+                    else {}
+                ),
             )
+        )
+        args = (sre, sim, codes, prns, 1500.0 + dopplers)
+        kwargs = dict(carrier_phase=zeros, code_frequency=code_freqs,
+                      code_phase=zeros)
+    else:
+        corr = functools.partial(
+            registry.get(ALGORITHM),
+            sample_shifts=shifts,
+            code_length=system.code_length,
+        )
 
-        def one(prn, dop):
-            return corr(
-                sre, sim, codes, prn, 1500.0 + dop, fs,
-                phase_offset, system.code_frequency, phase_offset,
-            )
-        return jax.vmap(one)(prns, dopplers)
+        def bank(sre_, sim_, prns_, dops_):
+            def one(prn, dop):
+                return corr(
+                    sre_, sim_, codes, prn, 1500.0 + dop, fs, 0.0,
+                    system.code_frequency, 0.0,
+                )
+            return jax.vmap(one)(prns_, dops_)
 
-    @jax.jit
-    def run(offsets):
-        def body(acc, off):
-            are, aim = bank(off)
-            return acc + are.sum() + aim.sum(), None
-        total, _ = jax.lax.scan(body, jnp.float32(0.0), offsets)
-        return total
+        fn = jax.jit(bank)
+        args = (sre, sim, prns, dopplers)
+        kwargs = {}
 
-    offsets = jnp.linspace(0.0, 0.1, REPS).astype(jnp.float32)
-    jax.block_until_ready(run(offsets))  # compile
+    import numpy as np
+
+    np.asarray(fn(*args, **kwargs)[0])  # compile + real sync
     best = float("inf")
     for _ in range(TRIALS):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(offsets))
-        best = min(best, time.perf_counter() - t0)
+        outs = [fn(*args, **kwargs) for _ in range(REPS)]
+        # block_until_ready is lazy over the tunneled backend; a host
+        # materialization of the last output is the only true fence
+        # (execution is in-order, so the last output implies all done).
+        np.asarray(outs[-1][0])
+        best = min(best, (time.perf_counter() - t0) / REPS)
 
-    samples = REPS * NUM_CHANNELS * NUM_SAMPLES
-    throughput = samples / best
+    throughput = NUM_CHANNELS * NUM_SAMPLES / best
     print(
         json.dumps(
             {

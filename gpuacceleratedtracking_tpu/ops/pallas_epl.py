@@ -54,7 +54,7 @@ def _pad_to(x: jax.Array, size: int, axis: int = -1) -> jax.Array:
     return jnp.pad(x, widths)
 
 
-def _carrier_tile(tile_idx, rows, f_cyc, phi_cyc, row_offset=0.0):
+def _carrier_tile(tile_idx, rows, f_cyc, phi_cyc, row_offset=0.0, tile=TILE):
     """(cos, sin) of the carrier over one ``[rows, 128]`` tile.
 
     Phase-rotator factorization: ``carrier[r, l] = rot_row[r] * rot_lane[l]``
@@ -67,7 +67,7 @@ def _carrier_tile(tile_idx, rows, f_cyc, phi_cyc, row_offset=0.0):
     """
     row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0).astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1).astype(jnp.float32)
-    cyc_row = f_cyc * ((tile_idx * TILE).astype(jnp.float32) + (row + row_offset) * LANES) + phi_cyc
+    cyc_row = f_cyc * ((tile_idx * tile).astype(jnp.float32) + (row + row_offset) * LANES) + phi_cyc
     cyc_row = cyc_row - jnp.floor(cyc_row)
     theta_row = _TWO_PI * cyc_row                      # [rows, 1]
     cyc_lane = f_cyc * lane
@@ -379,7 +379,7 @@ def correlate_pallas_fused(
 
 def _bank_kernel(
     params_ref, sre_ref, sim_ref, code2d_ref, outre_ref, outim_ref,
-    *, deltas: tuple, code_length: int, num_hi: int,
+    *, deltas: tuple, code_length: int, num_hi: int, tile_rows: int,
 ):
     """One (channel, tile) grid step of the fused bank correlator.
 
@@ -391,17 +391,18 @@ def _bank_kernel(
     """
     k = pl.program_id(0)
     i = pl.program_id(1)
+    tile = tile_rows * LANES
     # Whole [K, 4] params table rides in SMEM (TPU SMEM blocks cannot be
     # split per grid step); each channel reads its own row.
     f_cyc = params_ref[k, 0]
     phi_cyc = params_ref[k, 1]
     rho = params_ref[k, 2]
     phi_code = params_ref[k, 3]
-    ext_rows = TILE_ROWS + 1
+    ext_rows = tile_rows + 1
 
     row = jax.lax.broadcasted_iota(jnp.int32, (ext_rows, LANES), 0).astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (ext_rows, LANES), 1).astype(jnp.float32)
-    m = (i * TILE).astype(jnp.float32) + row * LANES + lane
+    m = (i * tile).astype(jnp.float32) + row * LANES + lane
     p = rho * m + phi_code
     lc = jnp.float32(code_length)
     p = p - lc * jnp.floor(p / lc)
@@ -409,13 +410,15 @@ def _bank_kernel(
     hi = jax.lax.div(idx, LANES)
     lo = jax.lax.rem(idx, LANES)
 
+    # One-hot lane gather on the MXU in bf16 (exact: one-hot is 0/1, chips
+    # are +/-1) with f32 accumulation.
     onehot = (
         lo[:, :, None]
         == jax.lax.broadcasted_iota(jnp.int32, (ext_rows, LANES, LANES), 2)
-    ).astype(jnp.float32)
+    ).astype(jnp.bfloat16)
     w = jax.lax.dot_general(
         onehot,
-        code2d_ref[0],
+        code2d_ref[0].astype(jnp.bfloat16),
         (((2,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -425,7 +428,7 @@ def _bank_kernel(
     )
     rep = jnp.sum(jnp.where(sel, w, 0.0), axis=2)
 
-    cos, sin = _carrier_tile(i, TILE_ROWS, f_cyc, phi_cyc)
+    cos, sin = _carrier_tile(i, tile_rows, f_cyc, phi_cyc, tile=tile)
     sre = sre_ref[...]
     sim = sim_ref[...]
     dw_re = sre * cos + sim * sin
@@ -437,12 +440,12 @@ def _bank_kernel(
         outim_ref[...] = jnp.zeros_like(outim_ref)
 
     for l, delta in enumerate(deltas):
-        tap = _flat_shift(rep, delta)[:TILE_ROWS]
+        tap = _flat_shift(rep, delta)[:tile_rows]
         outre_ref[0, :, l] += jnp.sum(dw_re * tap, axis=(1, 2))
         outim_ref[0, :, l] += jnp.sum(dw_im * tap, axis=(1, 2))
 
 
-def correlate_pallas_bank(
+def correlate_pallas_bank_onehot(
     signal_re: jax.Array,
     signal_im: jax.Array,
     codes: jax.Array,
@@ -454,13 +457,17 @@ def correlate_pallas_bank(
     code_phase: jax.Array,
     sample_shifts: Sequence[int],
     code_length: int,
+    tile_rows: int = 64,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused EPL correlation of one shared front-end block against K channels.
 
     ``prn / carrier_frequency / carrier_phase / code_frequency / code_phase``
     are ``[K]`` arrays (one satellite channel each); ``signal_*`` is ``[N]`` or
     ``[A, N]`` shared by all channels. Returns ``[K, A, L]`` (or ``[K, L]``)
-    accumulators. Requires tap span < 128 samples.
+    accumulators. Requires tap span < 128 samples. ``tile_rows`` sets the
+    time-tile (``tile_rows * 128`` samples per grid step) — large tiles
+    amortize per-step fixed cost, the dominant term for the bank's
+    K×tiles-step sequential grid.
     """
     span = int(max(sample_shifts)) - int(min(sample_shifts))
     if span >= LANES:
@@ -480,8 +487,9 @@ def correlate_pallas_bank(
     code_cols = jnp.take(codes.T, jnp.asarray(prn), axis=0)        # [K, Lc]
     code2d = _pad_to(code_cols, num_hi * LANES).reshape(num_k, num_hi, LANES)
 
-    num_tiles = pl.cdiv(num_samples, TILE)
-    n_pad = num_tiles * TILE
+    tile = tile_rows * LANES
+    num_tiles = pl.cdiv(num_samples, tile)
+    n_pad = num_tiles * tile
     sre = _pad_to(signal_re, n_pad).reshape(num_ants, -1, LANES)
     sim = _pad_to(signal_im, n_pad).reshape(num_ants, -1, LANES)
 
@@ -502,9 +510,9 @@ def correlate_pallas_bank(
         in_specs=[
             pl.BlockSpec((num_k, 4), lambda k, i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((num_ants, TILE_ROWS, LANES), lambda k, i: (0, i, 0),
+            pl.BlockSpec((num_ants, tile_rows, LANES), lambda k, i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_ants, TILE_ROWS, LANES), lambda k, i: (0, i, 0),
+            pl.BlockSpec((num_ants, tile_rows, LANES), lambda k, i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, num_hi, LANES), lambda k, i: (k, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -522,7 +530,7 @@ def correlate_pallas_bank(
     )
     kernel = functools.partial(
         _bank_kernel, deltas=deltas, code_length=int(code_length),
-        num_hi=int(num_hi),
+        num_hi=int(num_hi), tile_rows=int(tile_rows),
     )
     acc_re, acc_im = pl.pallas_call(
         kernel,
@@ -535,6 +543,305 @@ def correlate_pallas_bank(
     return acc_re, acc_im
 
 
+# ---------------------------------------------------------------------------
+# Kernel D: transition-matmul bank — per-chip work instead of per-sample gather
+# ---------------------------------------------------------------------------
+
+
+def _bank_transition_kernel(
+    params_ref, base_ref, sre_ref, sim_ref, codecol_ref,
+    outre_ref, outim_ref,
+    *, deltas: tuple, code_length: int, tile_rows: int, num_c: int,
+    code_rows: int, rho_nom: float, fcar_nom_cyc: float,
+):
+    """One (channel, tile) step of the transition-formulation bank correlator.
+
+    The replica is *piecewise constant*: at < 1 chip/sample it changes value
+    only at ~``rho * tile`` chip boundaries per tile. Instead of gathering a
+    chip per sample (the one-hot kernels — per-SAMPLE work that dominated the
+    profile), this kernel does per-CHIP work:
+
+    1. align the channel's tiled code so chip ``c0`` (the tile's first chip)
+       sits at flat position 0. The dynamic shift is built from compare-
+       generated permutation matrices multiplied on the MXU — Mosaic handles
+       dynamic *compares* everywhere, where dynamic `pltpu.roll` shifts hang
+       its compiler on this toolchain. This is the TPU register-file
+       replacement for the texture unit's wrapped fetch
+       (`/root/reference/src/algorithms.jl:72`).
+    2. compute each chip's first-sample boundary ``t_c = ceil((c - frac)/rho)``
+       and the chip-value steps ``delta_c`` (vectors of length C ~ hundreds),
+    3. reconstruct ``rep[r, l] = sum_c delta_c * (128 r + l >= t_c)`` with the
+       split ``(r > rt_c) + (r == rt_c)(l >= lt_c)`` as one ``[E, C] x [C,
+       128]`` MXU matmul plus a row reduction.
+
+    Everything per-sample that remains is the carrier wipe-off and tap MAC.
+    """
+    k = pl.program_id(0)
+    i = pl.program_id(1)
+    tile = tile_rows * LANES
+    ext = tile_rows + 1
+    num_e = (ext + 7) // 8 * 8
+    cr = num_c // LANES
+    f_cyc = params_ref[k, 0]
+    phi_cyc = params_ref[k, 1]
+    rho = params_ref[k, 2]
+    phi_code = params_ref[k, 3]
+    lc = jnp.float32(code_length)
+
+    # Per-tile phase advance: static f64-exact nominal base + tiny residual.
+    n0 = (i * tile).astype(jnp.float32)
+    phi_car_tile = phi_cyc + base_ref[i, 0] + (f_cyc - jnp.float32(fcar_nom_cyc)) * n0
+    p = phi_code + base_ref[i, 1] + (rho - jnp.float32(rho_nom)) * n0
+    p = p - lc * jnp.floor(p / lc)                    # [0, Lc)
+    c0 = p.astype(jnp.int32)                          # first chip of the tile
+    frac = p - c0.astype(jnp.float32)                 # [0, 1)
+    q = jax.lax.div(c0, LANES)
+    r = jax.lax.rem(c0, LANES)
+
+    # 1. Align the code window: flat shift by c0 = 128 q + r as two
+    # permutation matmuls + a carry select (see _flat_shift for the static
+    # analog). All dynamic dependence is scalar compares.
+    code2d = codecol_ref[0]                                     # [CRT, 128]
+    crt = code2d.shape[0]
+    lane_diff = jax.lax.rem(
+        jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+        - jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+        + LANES,
+        LANES,
+    )
+    q_lane = (lane_diff == r).astype(jnp.float32)               # [128, 128]
+    y = jax.lax.dot_general(
+        code2d, q_lane, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                           # [CRT, 128]
+    row_diff = (
+        jax.lax.broadcasted_iota(jnp.int32, (crt, crt), 1)
+        - jax.lax.broadcasted_iota(jnp.int32, (crt, crt), 0)
+    )
+    p_row = (row_diff == q).astype(jnp.float32)                 # [CRT, CRT]
+    a1 = jax.lax.dot_general(
+        p_row, y, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[: cr + 1]                                                 # [CR+1, 128]
+    a2 = jnp.concatenate([a1[1:], jnp.zeros_like(a1[:1])], axis=0)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (cr + 1, LANES), 1)
+    aligned = jnp.where(lane_i < LANES - r, a1, a2)             # flat win
+
+    # 2. Chip-value steps delta_c (flat right-shift by one: static rolls).
+    prev_l = pltpu.roll(aligned, 1, axis=1)
+    prev_r = pltpu.roll(aligned, 1, axis=0)
+    prev_r = pltpu.roll(prev_r, 1, axis=1)
+    prev = jnp.where(lane_i == 0, prev_r, prev_l)
+    flat_c = jax.lax.broadcasted_iota(jnp.int32, (cr + 1, LANES), 0) * LANES + lane_i
+    win = aligned[:cr]
+    delta2d = jnp.where(flat_c == 0, aligned, aligned - prev)[:cr]   # [CR, 128]
+
+    # delta into lane layout [1, C] via CR selection matmuls
+    # (direct [CR,128] -> [1, C] relayout is an unsupported shape cast).
+    sel_lane = jax.lax.broadcasted_iota(jnp.int32, (LANES, num_c), 0)
+    sel_chip = jax.lax.broadcasted_iota(jnp.int32, (LANES, num_c), 1)
+    parts = []
+    for a in range(cr):
+        sel = (sel_chip == a * LANES + sel_lane).astype(jnp.float32)  # [128, C]
+        parts.append(
+            jax.lax.dot_general(
+                delta2d[a : a + 1], sel, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    delta_lane = sum(parts)                                     # [1, C]
+
+    # 3. Chip boundaries (pure index math, computed per needed layout).
+    inv_rho = 1.0 / rho
+
+    def bounds(c_idx):
+        t = jnp.ceil((c_idx.astype(jnp.float32) - frac) * inv_rho)
+        t = jnp.where(c_idx == 0, 0.0, t)
+        t = jnp.clip(t, 0.0, jnp.float32(num_e * LANES)).astype(jnp.int32)
+        return jax.lax.div(t, LANES), jax.lax.rem(t, LANES)
+
+    rt_lane, _ = bounds(jax.lax.broadcasted_iota(jnp.int32, (1, num_c), 1))
+    _, lt_col = bounds(jax.lax.broadcasted_iota(jnp.int32, (num_c, 1), 0))
+
+    # 4. Reconstruct the replica: one [E, C] x [C, 128] MXU matmul + rowsum.
+    r_sub = jax.lax.broadcasted_iota(jnp.int32, (num_e, 1), 0)
+    ge = (r_sub > rt_lane).astype(jnp.float32)                  # [E, C]
+    eq = (r_sub == rt_lane).astype(jnp.float32)
+    g = jnp.sum(ge * delta_lane, axis=1, keepdims=True)         # [E, 1]
+    me = eq * delta_lane                                        # [E, C]
+    l_lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    lstep = (l_lane >= lt_col).astype(jnp.float32)              # [C, 128]
+    h = jax.lax.dot_general(
+        me, lstep, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                           # [E, 128]
+    rep = (g + h)[:ext]                                         # [ext, 128]
+
+    # Carrier wipe-off + tap MAC (the per-sample floor of the pipeline).
+    cos, sin = _carrier_tile(
+        jnp.int32(0), tile_rows, f_cyc, phi_car_tile, tile=tile
+    )
+    sre = sre_ref[...]
+    sim = sim_ref[...]
+    dw_re = sre * cos + sim * sin
+    dw_im = sim * cos - sre * sin
+
+    @pl.when(i == 0)
+    def _():
+        outre_ref[...] = jnp.zeros_like(outre_ref)
+        outim_ref[...] = jnp.zeros_like(outim_ref)
+
+    for l, delta in enumerate(deltas):
+        tap = _flat_shift(rep, delta)[:tile_rows]
+        outre_ref[0, :, l] += jnp.sum(dw_re * tap, axis=(1, 2))
+        outim_ref[0, :, l] += jnp.sum(dw_im * tap, axis=(1, 2))
+
+
+def correlate_pallas_bank(
+    signal_re: jax.Array,
+    signal_im: jax.Array,
+    codes: jax.Array,
+    prn: jax.Array,
+    carrier_frequency: jax.Array,
+    sampling_frequency,
+    carrier_phase: jax.Array,
+    code_frequency: jax.Array,
+    code_phase: jax.Array,
+    sample_shifts: Sequence[int],
+    code_length: int,
+    tile_rows: int = 256,
+    nominal_code_frequency: float | None = None,
+    nominal_carrier_frequency: float = 0.0,
+    max_chips_per_sample: float | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Transition-formulation fused EPL bank correlator (flagship kernel).
+
+    Same contract as the one-hot bank (`correlate_pallas_bank_onehot`): one
+    shared ``[N]`` / ``[A, N]`` front-end block against ``[K]`` channels,
+    ``[K, (A,) L]`` accumulators, tap span < 128 samples, chip rate strictly
+    below one chip per sample. ``sampling_frequency`` must be static.
+    ``nominal_code_frequency`` (static) seeds f64-exact per-tile phase tables
+    and sizes the per-tile chip window; when omitted, the window is sized for
+    ``max_chips_per_sample`` (default 0.65) and nominal-phase rebasing is
+    disabled (full f32 phase accumulation — fine below ~2^17 samples).
+    """
+    span = int(max(sample_shifts)) - int(min(sample_shifts))
+    if span >= LANES:
+        raise ValueError(
+            f"tap span {span} >= {LANES}; use the XLA bank path for wide spans"
+        )
+    squeeze = signal_re.ndim == 1
+    if squeeze:
+        signal_re, signal_im = signal_re[None], signal_im[None]
+    num_ants, num_samples = signal_re.shape
+    num_taps = len(sample_shifts)
+    d_min = int(min(sample_shifts))
+    deltas = tuple(int(d) - d_min for d in sample_shifts)
+    num_k = prn.shape[0]
+    fs = float(sampling_frequency)
+
+    tile_rows = min(tile_rows, pl.cdiv(num_samples, LANES))
+    tile = tile_rows * LANES
+    ext = tile_rows + 1
+    if max_chips_per_sample is None:
+        max_chips_per_sample = (
+            float(nominal_code_frequency) / fs * 1.001
+            if nominal_code_frequency is not None
+            else 0.65
+        )
+    if max_chips_per_sample >= 1.0:
+        raise ValueError("transition kernel requires < 1 chip per sample")
+    num_c = (
+        (int(math.ceil(max_chips_per_sample * ext * LANES)) + 2 + LANES - 1)
+        // LANES * LANES
+    )
+    # Tiled code, flat lane-major [CRT, 128], long enough that a flat shift by
+    # any c0 < code_length plus C window reads never leaves the array.
+    code_rows = num_c // LANES
+    crt = (code_length + num_c + 2 + LANES - 1) // LANES
+    code_cols = jnp.take(codes.T, jnp.asarray(prn), axis=0)      # [K, Lc]
+    reps_needed = math.ceil(crt * LANES / code_length)
+    codecol = jnp.tile(code_cols, (1, reps_needed))[:, : crt * LANES]
+    codecol = codecol.reshape(num_k, crt, LANES)
+
+    num_tiles = pl.cdiv(num_samples, tile)
+    n_pad = num_tiles * tile
+    sre = _pad_to(signal_re, n_pad).reshape(num_ants, -1, LANES)
+    sim = _pad_to(signal_im, n_pad).reshape(num_ants, -1, LANES)
+
+    rho_nom = (
+        float(nominal_code_frequency) / fs
+        if nominal_code_frequency is not None
+        else 0.0
+    )
+    fcar_nom_cyc = float(nominal_carrier_frequency) / fs
+    import numpy as _np
+
+    t_idx = _np.arange(num_tiles, dtype=_np.float64) * tile
+    base = _np.stack(
+        [
+            _np.mod(fcar_nom_cyc * t_idx, 1.0),
+            _np.mod(rho_nom * t_idx, float(code_length)),
+        ],
+        axis=-1,
+    )
+    base = jnp.asarray(base, jnp.float32)                        # [tiles, 2]
+
+    rho = jnp.asarray(code_frequency, jnp.float32) / jnp.float32(fs)
+    params = jnp.stack(
+        [
+            jnp.asarray(carrier_frequency, jnp.float32) / jnp.float32(fs),
+            jnp.asarray(carrier_phase, jnp.float32) / jnp.float32(_TWO_PI),
+            rho,
+            jnp.asarray(code_phase, jnp.float32) + rho * jnp.float32(d_min),
+        ],
+        axis=-1,
+    )                                                            # [K, 4]
+
+    grid_spec = pl.GridSpec(
+        grid=(num_k, num_tiles),
+        in_specs=[
+            pl.BlockSpec((num_k, 4), lambda k, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((num_tiles, 2), lambda k, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((num_ants, tile_rows, LANES), lambda k, i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_ants, tile_rows, LANES), lambda k, i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, crt, LANES), lambda k, i: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, num_ants, num_taps), lambda k, i: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_ants, num_taps), lambda k, i: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((num_k, num_ants, num_taps), jnp.float32),
+        jax.ShapeDtypeStruct((num_k, num_ants, num_taps), jnp.float32),
+    )
+    kernel = functools.partial(
+        _bank_transition_kernel,
+        deltas=deltas, code_length=int(code_length),
+        tile_rows=int(tile_rows), num_c=int(num_c),
+        code_rows=int(code_rows),
+        rho_nom=rho_nom, fcar_nom_cyc=fcar_nom_cyc,
+    )
+    acc_re, acc_im = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(params, base, sre, sim, codecol)
+    if squeeze:
+        acc_re, acc_im = acc_re[:, 0], acc_im[:, 0]
+    return acc_re, acc_im
+
+
 registry.register("pallas_taps", correlate_pallas_taps)
 registry.register("pallas_fused", correlate_pallas_fused)
 registry.register("pallas_bank", correlate_pallas_bank)
+registry.register("pallas_bank_onehot", correlate_pallas_bank_onehot)

@@ -108,12 +108,14 @@ class TestBankKernel:
         phases = jnp.zeros(K) if phases is None else jnp.asarray(phases)
         fn = jax.jit(functools.partial(
             correlate_pallas_bank, sample_shifts=tuple(int(s) for s in shifts),
-            code_length=system.code_length,
+            code_length=system.code_length, sampling_frequency=fs,
+            nominal_code_frequency=system.code_frequency,
         ))
         return fn(
             sre, sim, jnp.asarray(system.codes), jnp.asarray(prns, jnp.int32),
-            1500.0 + jnp.asarray(dops, jnp.float32), fs, phases,
-            jnp.full((K,), system.code_frequency, jnp.float32), phases,
+            1500.0 + jnp.asarray(dops, jnp.float32), carrier_phase=phases,
+            code_frequency=jnp.full((K,), system.code_frequency, jnp.float32),
+            code_phase=phases,
         )
 
     def test_matches_per_channel_oracle(self):
