@@ -187,7 +187,38 @@ def track_bank(
     ``[B, A, N]``) — each channel wipes off its own Doppler/code phase, the
     multi-satellite capability of the reference's 3-D kernels
     (`/root/reference/src/algorithms.jl:637-718`) extended with closed loops.
+
+    When ``config.algorithm`` is a bank kernel (``pallas_bank*``), the whole
+    bank correlates in ONE kernel launch per block (channels ride the kernel
+    grid); otherwise each channel runs the per-channel algorithm under `vmap`.
+    NOTE: `vmap` of a `pallas_call` re-lowers the kernel per channel — for
+    Pallas banks always use a bank algorithm.
     """
+    if config.algorithm.startswith("pallas_bank"):
+        corr = registry.get(config.algorithm)
+        kwargs = {"sampling_frequency": config.sampling_frequency}
+        if config.algorithm == "pallas_bank":
+            kwargs["nominal_code_frequency"] = config.code_frequency
+            kwargs["nominal_carrier_frequency"] = config.intermediate_frequency
+
+        def body(st, sig):
+            sre, sim = sig
+            f_car = config.intermediate_frequency + st.carrier_doppler   # [K]
+            f_code = config.code_frequency + st.code_doppler
+            accum_re, accum_im = corr(
+                sre, sim, codes, st.prn, f_car,
+                carrier_phase=st.carrier_phase,
+                code_frequency=f_code,
+                code_phase=st.code_phase,
+                sample_shifts=config.sample_shifts,
+                code_length=config.code_length,
+                **kwargs,
+            )
+            return jax.vmap(lambda s, a_re, a_im: loop_update(config, s, a_re, a_im))(
+                st, accum_re, accum_im
+            )
+
+        return jax.lax.scan(body, states, (signal_re, signal_im))
 
     def body(st, sig):
         sre, sim = sig

@@ -146,6 +146,39 @@ class TestClosedLoop:
         dop = np.asarray(out.carrier_doppler)
         assert abs(np.mean(dop[-50:]) - true_doppler) < 5.0
 
+    def test_track_bank_pallas_bank_kernel_matches_xla(self):
+        # One kernel launch per block for the whole bank (channels on the
+        # kernel grid) must reproduce the vmapped per-channel XLA loop.
+        system = GPSL1()
+        N, num_ms, K = 2048, 30, 3
+        fs = N / 1e-3
+        dops = np.array([-800.0, 0.0, 1200.0])
+        sigs = []
+        for prn, d in enumerate(dops):
+            scale = 1.0 + d / system.center_frequency
+            s, _ = gen_signal(system, prn, d, N * num_ms,
+                              duration=num_ms * 1e-3,
+                              code_frequency=system.code_frequency * scale)
+            sigs.append(s)
+        mixed = sum(sigs[1:], sigs[0])
+        sre, sim = soa(mixed)
+        sre, sim = sre.reshape(num_ms, N), sim.reshape(num_ms, N)
+        states = init_state(np.arange(K), carrier_doppler=dops)
+        states = states._replace(
+            pll_filter=loop_filter.init(jnp.asarray(dops, jnp.float32)))
+        outs = {}
+        for algo in ["fused_xla", "pallas_bank"]:
+            config = TrackConfig.for_system(system, fs, N, algorithm=algo)
+            _, out = track_bank(config, jnp.asarray(system.codes), states,
+                                sre, sim)
+            outs[algo] = out
+        np.testing.assert_allclose(
+            np.asarray(outs["pallas_bank"].prompt_re),
+            np.asarray(outs["fused_xla"].prompt_re), rtol=5e-3, atol=10.0)
+        np.testing.assert_allclose(
+            np.asarray(outs["pallas_bank"].carrier_doppler),
+            np.asarray(outs["fused_xla"].carrier_doppler), rtol=1e-3, atol=1.0)
+
     def test_track_bank_channels_independent(self):
         # Two channels, different PRNs/Dopplers, one shared front-end stream:
         # sum of two satellite signals; both channels must lock onto their own.
