@@ -11,6 +11,6 @@ bound.
 
 __version__ = "0.1.0"
 
-from . import bench, models, ops, parallel, tracking
+from . import bench, models, ops, parallel, runtime, tracking
 
-__all__ = ["bench", "models", "ops", "parallel", "tracking", "__version__"]
+__all__ = ["bench", "models", "ops", "parallel", "runtime", "tracking", "__version__"]
