@@ -128,6 +128,40 @@ def correlate_fused(
     return epl_accumulate(dw_re, dw_im, code_rep, sample_shifts)
 
 
+def correlate_xla_bank(
+    signal_re: jax.Array,
+    signal_im: jax.Array,
+    codes: jax.Array,
+    prn: jax.Array,
+    carrier_frequency: jax.Array,
+    sampling_frequency,
+    carrier_phase: jax.Array,
+    code_frequency: jax.Array,
+    code_phase: jax.Array,
+    sample_shifts: Sequence[int],
+    code_length: int,
+    **_unused,
+) -> tuple[jax.Array, jax.Array]:
+    """Bank-signature XLA correlator: ``[K]`` channel params, shared signal.
+
+    The `vmap` fallback for configurations the fused Pallas bank rejects
+    (tap span >= 128 samples, or >= 1 chip/sample). vmap of XLA ops is cheap
+    to compile, unlike vmap of a `pallas_call`.
+    """
+
+    def one(p, f_car, phi_car, f_code, phi_code):
+        return correlate_fused(
+            signal_re, signal_im, codes, p, f_car, sampling_frequency,
+            phi_car, f_code, phi_code, sample_shifts, code_length,
+        )
+
+    return jax.vmap(one)(
+        jnp.asarray(prn), jnp.asarray(carrier_frequency),
+        jnp.asarray(carrier_phase), jnp.asarray(code_frequency),
+        jnp.asarray(code_phase),
+    )
+
+
 def correlate_unfused(
     signal_re: jax.Array,
     signal_im: jax.Array,

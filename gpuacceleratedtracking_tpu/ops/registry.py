@@ -46,3 +46,8 @@ def names() -> list[str]:
 
 register("fused_xla", correlate.correlate_fused)
 register("unfused_xla", correlate.correlate_unfused)
+register("xla_bank", correlate.correlate_xla_bank)
+
+# Algorithms with the bank signature ([K]-array channel parameters and a
+# shared front-end signal) -- the 3-D multi-satellite family.
+BANK_ALGORITHMS = {"xla_bank", "pallas_bank", "pallas_bank_onehot"}

@@ -43,6 +43,11 @@ class StreamTracker:
     ``blocks_per_dispatch`` trades latency for dispatch amortization: each
     device dispatch scans that many 1-block tracking steps (the scan is
     compiled once; state carries over between dispatches).
+
+    ``checkpoint_path``/``checkpoint_every`` enable periodic NCO-state
+    snapshots so an interrupted run resumes at block granularity (the
+    closed-loop analog of the reference's per-config `@tagsave` resume,
+    `/root/reference/scripts/run_benchmarks_gpsl1.jl:24-27`; SURVEY.md §5.4).
     """
 
     def __init__(
@@ -51,11 +56,34 @@ class StreamTracker:
         codes,
         states: TrackState,
         blocks_per_dispatch: int = 20,
+        checkpoint_path=None,
+        checkpoint_every: int = 200,
     ):
         self.config = config
         self.codes = jnp.asarray(codes)
         self.states = states
         self.blocks_per_dispatch = blocks_per_dispatch
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_every = checkpoint_every
+        self._since_checkpoint = 0
+
+    def save_checkpoint(self, blocks_done: int) -> None:
+        if self.checkpoint_path is None:
+            return
+        leaves, treedef = jax.tree.flatten(self.states)
+        np.savez(
+            self.checkpoint_path,
+            blocks_done=np.int64(blocks_done),
+            **{f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)},
+        )
+
+    def load_checkpoint(self) -> int:
+        """Restore states from the checkpoint; returns blocks already done."""
+        data = np.load(self.checkpoint_path)
+        leaves, treedef = jax.tree.flatten(self.states)
+        restored = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))]
+        self.states = jax.tree.unflatten(treedef, restored)
+        return int(data["blocks_done"])
 
     def process(self, sre: np.ndarray, sim: np.ndarray) -> TrackOutput:
         """Process ``[B, N]`` blocks; returns per-block outputs ``[B, K]``."""
@@ -77,7 +105,11 @@ class StreamTracker:
             if len(chunk_re) == self.blocks_per_dispatch:
                 outputs.append(self.process(np.stack(chunk_re), np.stack(chunk_im)))
                 processed += len(chunk_re)
+                self._since_checkpoint += len(chunk_re)
                 chunk_re, chunk_im = [], []
+                if self._since_checkpoint >= self.checkpoint_every:
+                    self.save_checkpoint(processed)
+                    self._since_checkpoint = 0
             if max_blocks is not None and processed >= max_blocks:
                 break
         if chunk_re:

@@ -194,7 +194,7 @@ def track_bank(
     NOTE: `vmap` of a `pallas_call` re-lowers the kernel per channel — for
     Pallas banks always use a bank algorithm.
     """
-    if config.algorithm.startswith("pallas_bank"):
+    if config.algorithm in registry.BANK_ALGORITHMS:
         corr = registry.get(config.algorithm)
         kwargs = {"sampling_frequency": config.sampling_frequency}
         if config.algorithm == "pallas_bank":

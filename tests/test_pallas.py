@@ -155,6 +155,58 @@ class TestBankKernel:
                 np.testing.assert_allclose(np.asarray(are)[k, a], GOLDEN,
                                            rtol=3.5e-4)
 
+    def test_l5_bank(self):
+        system = GPSL5()
+        N = 32768
+        fs = N / 1e-3
+        signal, _ = gen_signal(system, 3, 2000.0, N)
+        sre, sim = soa(signal)
+        shifts = correlator_sample_shifts(system, EPLCorrelator(3), fs)
+        from gpuacceleratedtracking_tpu.ops.pallas_epl import correlate_pallas_bank
+
+        fn = jax.jit(functools.partial(
+            correlate_pallas_bank, sample_shifts=tuple(int(s) for s in shifts),
+            code_length=system.code_length, sampling_frequency=fs,
+            nominal_code_frequency=system.code_frequency,
+        ))
+        are, aim = fn(
+            sre, sim, jnp.asarray(system.codes),
+            jnp.array([3, 3], jnp.int32),
+            jnp.full((2,), 2000.0, jnp.float32),
+            carrier_phase=jnp.zeros(2),
+            code_frequency=jnp.full((2,), system.code_frequency, jnp.float32),
+            code_phase=jnp.zeros(2),
+        )
+        want = run("fused_xla", system, signal, fs, shifts, prn=3, fcar=2000.0)
+        for k in range(2):
+            np.testing.assert_allclose(
+                np.asarray(are)[k] + 1j * np.asarray(aim)[k], want,
+                rtol=1e-3, atol=3.0,
+            )
+
+    def test_xla_bank_matches(self):
+        system = GPSL1()
+        N = 4096
+        fs = N / 1e-3
+        signal, _ = gen_signal(system, 2, 900.0, N)
+        sre, sim = soa(signal)
+        shifts = tuple(int(s) for s in
+                       correlator_sample_shifts(system, EPLCorrelator(3), fs))
+        fn = jax.jit(functools.partial(
+            registry.get("xla_bank"), sample_shifts=shifts,
+            code_length=system.code_length, sampling_frequency=fs,
+        ))
+        are, aim = fn(
+            sre, sim, jnp.asarray(system.codes), jnp.array([2, 2], jnp.int32),
+            jnp.full((2,), 900.0, jnp.float32),
+            carrier_phase=jnp.zeros(2),
+            code_frequency=jnp.full((2,), system.code_frequency, jnp.float32),
+            code_phase=jnp.zeros(2),
+        )
+        want = run("fused_xla", system, signal, fs, shifts, prn=2, fcar=900.0)
+        np.testing.assert_allclose(np.asarray(are)[0] + 1j * np.asarray(aim)[0],
+                                   want, rtol=1e-5, atol=1e-2)
+
     def test_wide_span_raises(self):
         system = GPSL1()
         signal, fs = gen_signal(system, 0, 1500.0, 131072)
