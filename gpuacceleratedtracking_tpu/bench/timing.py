@@ -65,10 +65,24 @@ def benchmark(
     (trial time is divided by it). ``warmup`` calls trigger compilation.
     """
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
     times = []
     for _ in range(trials):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
         times.append((time.perf_counter() - t0) / reps)
     return TrialStats.from_times(times)
+
+
+def _sync(x) -> None:
+    """True execution fence: host-materialize one output leaf.
+
+    `jax.block_until_ready` is lazy on tunneled PJRT backends (it returned
+    before execution finished in measurements on the axon TPU plugin); a
+    `device_get` of an output is the only reliable fence there. Outputs being
+    timed should therefore be small (a scalar reduce of the real result).
+    """
+    jax.block_until_ready(x)
+    leaves = jax.tree.leaves(x)
+    if leaves:
+        jax.device_get(leaves[0])

@@ -1,7 +1,7 @@
 """GNSS signal models: systems, code tables, synthetic signals, tap geometry."""
 
 from .system import GNSSSystem, GPSL1, GPSL5, GNSS_REGISTRY, get_system
-from .signal import gen_signal, gen_carrier, upsample_code, soa
+from .signal import gen_signal, gen_signal_mixed, gen_carrier, upsample_code, soa
 from .correlator import EPLCorrelator, correlator_sample_shifts, actual_code_shift
 
 __all__ = [
@@ -11,6 +11,7 @@ __all__ = [
     "GNSS_REGISTRY",
     "get_system",
     "gen_signal",
+    "gen_signal_mixed",
     "gen_carrier",
     "upsample_code",
     "soa",

@@ -162,6 +162,50 @@ def gen_signal(
     return signal, sampling_frequency
 
 
+def gen_signal_mixed(
+    system: GNSSSystem,
+    prns,
+    dopplers,
+    num_samples: int,
+    *,
+    num_ants: Optional[int] = None,
+    duration: float = 1e-3,
+    start_code_phases=None,
+    intermediate_frequency: float = 0.0,
+    noise_std: float = 0.0,
+    key: Optional[jax.Array] = None,
+):
+    """Sum of K Doppler-shifted satellite signals — one RF front-end stream.
+
+    Each satellite's code rate is scaled coherently with its carrier Doppler
+    (``1 + doppler/f_center``), the physical relation a closed tracking loop
+    relies on. Returns ``(signal [.., N], sampling_frequency)``. The
+    reference's 3-D generator keeps satellites separate
+    (`/root/reference/src/gen_signal.jl:95-112`, for the 3-D kernel
+    benchmark); use `gen_signal` with a ``[K]`` prn array for that layout.
+    """
+    prns = np.asarray(prns)
+    dopplers = np.asarray(dopplers, np.float64)
+    if start_code_phases is None:
+        start_code_phases = np.zeros(len(prns))
+    total = None
+    for prn, dop, phi in zip(prns, dopplers, np.asarray(start_code_phases)):
+        scale = 1.0 + dop / system.center_frequency
+        s, fs = gen_signal(
+            system, int(prn), intermediate_frequency + float(dop),
+            num_samples, num_ants=num_ants, duration=duration,
+            start_code_phase=float(phi),
+            code_frequency=system.code_frequency * scale,
+        )
+        total = s if total is None else total + s
+    if noise_std > 0.0:
+        if key is None:
+            raise ValueError("noise_std > 0 requires a PRNG key")
+        noise = jax.random.normal(key, total.shape + (2,), dtype=jnp.float32)
+        total = total + noise_std * jax.lax.complex(noise[..., 0], noise[..., 1])
+    return total, num_samples / duration
+
+
 def soa(signal: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Split complex64 into the structure-of-arrays (re, im) float32 planes.
 
