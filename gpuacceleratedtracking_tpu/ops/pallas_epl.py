@@ -552,7 +552,7 @@ def _bank_transition_kernel(
     params_ref, base_ref, sre_ref, sim_ref, codecol_ref,
     outre_ref, outim_ref,
     *, deltas: tuple, code_length: int, tile_rows: int, num_c: int,
-    code_rows: int, rho_nom: float, fcar_nom_cyc: float,
+    rho_nom: float, fcar_nom_cyc: float,
 ):
     """One (channel, tile) step of the transition-formulation bank correlator.
 
@@ -633,7 +633,6 @@ def _bank_transition_kernel(
     prev_r = pltpu.roll(prev_r, 1, axis=1)
     prev = jnp.where(lane_i == 0, prev_r, prev_l)
     flat_c = jax.lax.broadcasted_iota(jnp.int32, (cr + 1, LANES), 0) * LANES + lane_i
-    win = aligned[:cr]
     delta2d = jnp.where(flat_c == 0, aligned, aligned - prev)[:cr]   # [CR, 128]
 
     # delta into lane layout [1, C] via CR selection matmuls
@@ -757,7 +756,6 @@ def correlate_pallas_bank(
     )
     # Tiled code, flat lane-major [CRT, 128], long enough that a flat shift by
     # any c0 < code_length plus C window reads never leaves the array.
-    code_rows = num_c // LANES
     crt = (code_length + num_c + 2 + LANES - 1) // LANES
     code_cols = jnp.take(codes.T, jnp.asarray(prn), axis=0)      # [K, Lc]
     reps_needed = math.ceil(crt * LANES / code_length)
@@ -827,7 +825,6 @@ def correlate_pallas_bank(
         _bank_transition_kernel,
         deltas=deltas, code_length=int(code_length),
         tile_rows=int(tile_rows), num_c=int(num_c),
-        code_rows=int(code_rows),
         rho_nom=rho_nom, fcar_nom_cyc=fcar_nom_cyc,
     )
     acc_re, acc_im = pl.pallas_call(

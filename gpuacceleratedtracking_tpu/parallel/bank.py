@@ -82,6 +82,14 @@ def track_bank_sharded(
         code_length=config.code_length,
     )
 
+    is_bank_algo = config.algorithm in registry.BANK_ALGORITHMS
+    bank_kwargs = {}
+    if is_bank_algo:
+        bank_kwargs["sampling_frequency"] = config.sampling_frequency
+        if config.algorithm == "pallas_bank":
+            bank_kwargs["nominal_code_frequency"] = config.code_frequency
+            bank_kwargs["nominal_carrier_frequency"] = config.intermediate_frequency
+
     def channel_step(state, sre, sim, ti):
         f_car = config.intermediate_frequency + state.carrier_doppler
         f_code = config.code_frequency + state.code_doppler
@@ -99,11 +107,34 @@ def track_bank_sharded(
         # shard, so the carry stays consistent without a broadcast.
         return loop_update(config, state, are, aim)
 
+    def bank_step(states_, sre, sim, ti):
+        # One bank-kernel launch for all local channels (vmap of a pallas_call
+        # re-lowers per channel; the bank kernel batches on its grid instead).
+        f_car = config.intermediate_frequency + states_.carrier_doppler  # [K]
+        f_code = config.code_frequency + states_.code_doppler
+        phi_car_l, phi_code_l = advance(
+            states_.carrier_phase, states_.code_phase, f_car, f_code, ti,
+            tables,
+        )
+        are, aim = corr(
+            sre, sim, codes, states_.prn, f_car,
+            carrier_phase=phi_car_l, code_frequency=f_code,
+            code_phase=phi_code_l, sample_shifts=config.sample_shifts,
+            code_length=config.code_length, **bank_kwargs,
+        )
+        are = lax.psum(are, time_axis)
+        aim = lax.psum(aim, time_axis)
+        return jax.vmap(lambda s, r, m: loop_update(config, s, r, m))(
+            states_, are, aim
+        )
+
     def body(local_states, sre, sim):
         ti = lax.axis_index(time_axis)
 
         def block(st, sig):
             bre, bim = sig
+            if is_bank_algo:
+                return bank_step(st, bre, bim, ti)
             st2, out = jax.vmap(lambda s: channel_step(s, bre, bim, ti))(st)
             return st2, out
 

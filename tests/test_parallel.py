@@ -6,6 +6,7 @@ standard practice it never needed: `xla_force_host_platform_device_count=8`
 the single-device oracle.
 """
 
+import dataclasses
 import functools
 
 import jax
@@ -181,6 +182,27 @@ class TestTrackBankSharded:
         )
         prompts = np.asarray(out.prompt_re)[-1]
         assert (prompts > 1500).all(), prompts
+
+    def test_bank_kernel_algorithm_sharded(self):
+        # Bank-signature kernel inside the (chan, time) mesh: one kernel
+        # launch per (shard, block) for all local channels.
+        system, config, states, sre, sim = self._scenario(num_k=4, num_ms=20)
+        config_bank = dataclasses.replace(config, algorithm="pallas_bank")
+        mesh = channel_time_mesh(num_chan_shards=2, num_time_shards=2)
+        final_b, out_b = track_bank_sharded(
+            config_bank, jnp.asarray(system.codes), states, sre, sim, mesh=mesh
+        )
+        final_x, out_x = track_bank_sharded(
+            config, jnp.asarray(system.codes), states, sre, sim, mesh=mesh
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_b.prompt_re), np.asarray(out_x.prompt_re),
+            rtol=5e-3, atol=10.0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(final_b.code_phase), np.asarray(final_x.code_phase),
+            rtol=1e-4, atol=5e-3,
+        )
 
     def test_output_sharding_layout(self):
         system, config, states, sre, sim = self._scenario(num_k=8, num_ms=4)
