@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..models import EPLCorrelator, correlator_sample_shifts, gen_signal, get_system, soa
 from ..ops import registry, replica as replica_ops
 from ..ops.reduce import get_reduction
-from .timing import TrialStats, benchmark
+from .timing import TrialStats, benchmark, benchmark_pipelined
 
 REALTIME_BOUND_S = 1e-3  # process 1 ms of signal in under 1 ms (paper.tex:345)
 
@@ -101,19 +101,16 @@ def run_kernel_benchmark(config: dict) -> dict:
     )
 
     @jax.jit
-    def run(offsets):
-        def body(acc, off):
-            are, aim = corr(
-                sre, sim, codes, 0, 1500.0, fs, off, system.code_frequency, off
-            )
-            return acc + are.sum() + aim.sum(), None
-        total, _ = jax.lax.scan(body, jnp.float32(0.0), offsets)
-        return total
+    def run(off):
+        are, aim = corr(
+            sre, sim, codes, 0, 1500.0, fs, off, system.code_frequency, off
+        )
+        return are.sum() + aim.sum()
 
-    offsets = jax.device_put(
-        jnp.linspace(0.0, 0.1, reps).astype(jnp.float32), device
-    )
-    stats = benchmark(run, offsets, trials=trials, reps=reps)
+    arg_sets = [
+        (jax.device_put(jnp.float32(0.001 * i), device),) for i in range(reps)
+    ]
+    stats = benchmark_pipelined(run, arg_sets, trials=trials)
 
     results = dict(config)
     results.update(stats.to_dict())
@@ -147,17 +144,15 @@ def run_reduction_benchmark(config: dict) -> dict:
     )
 
     @jax.jit
-    def run(scales):
-        def body(acc, s):
-            are, aim = red(prod_re * s, prod_im * s)
-            return acc + are.sum() + aim.sum(), None
-        total, _ = jax.lax.scan(body, jnp.float32(0.0), scales)
-        return total
+    def run(s):
+        are, aim = red(prod_re * s, prod_im * s)
+        return are.sum() + aim.sum()
 
-    scales = jax.device_put(
-        jnp.linspace(1.0, 1.01, reps).astype(jnp.float32), device
-    )
-    stats = benchmark(run, scales, trials=trials, reps=reps)
+    arg_sets = [
+        (jax.device_put(jnp.float32(1.0 + 0.001 * i), device),)
+        for i in range(reps)
+    ]
+    stats = benchmark_pipelined(run, arg_sets, trials=trials)
     results = dict(config)
     results.update(stats.to_dict())
     return add_metadata(results, processor, algorithm)
@@ -188,20 +183,17 @@ def run_replica_benchmark(config: dict) -> dict:
     codes = jax.device_put(jnp.asarray(system.codes), device)
 
     @jax.jit
-    def run(phases):
-        def body(acc, phi):
-            rep = gen(
-                codes, 0, system.code_frequency, fs, phi, num_samples, -1, 1,
-                system.code_length,
-            )
-            return acc + rep.sum(), None
-        total, _ = jax.lax.scan(body, jnp.float32(0.0), phases)
-        return total
+    def run(phi):
+        rep = gen(
+            codes, 0, system.code_frequency, fs, phi, num_samples, -1, 1,
+            system.code_length,
+        )
+        return rep.sum()
 
-    phases = jax.device_put(
-        jnp.linspace(0.0, 0.5, reps).astype(jnp.float32), device
-    )
-    stats = benchmark(run, phases, trials=trials, reps=reps)
+    arg_sets = [
+        (jax.device_put(jnp.float32(0.01 * i), device),) for i in range(reps)
+    ]
+    stats = benchmark_pipelined(run, arg_sets, trials=trials)
     results = dict(config)
     results.update(stats.to_dict())
     return add_metadata(results, processor, algorithm)

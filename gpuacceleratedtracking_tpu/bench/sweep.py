@@ -59,10 +59,13 @@ def run_sweep(
     prefix: str = "KernelBenchmark",
     resume: bool = True,
     progress: bool = True,
+    skip_errors: bool = True,
 ) -> list[pathlib.Path]:
     """Run ``runner`` over every expanded config; save each result as JSON.
 
-    Returns the list of result file paths (existing + newly written).
+    With ``skip_errors`` a failing config records an ``{"error": ...}`` JSON
+    and the sweep continues (a toolchain crash on one kernel/shape must not
+    lose the rest of a long sweep). Returns all result file paths.
     """
     out = pathlib.Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -77,7 +80,15 @@ def run_sweep(
             continue
         if progress:
             print(f"[{i + 1}/{len(configs)}] run: {path.name}", flush=True)
-        result = runner(config)
+        try:
+            result = runner(config)
+        except Exception as e:  # noqa: BLE001 - record and continue
+            if not skip_errors:
+                raise
+            result = dict(config)
+            result["error"] = f"{type(e).__name__}: {e}"[:2000]
+            if progress:
+                print(f"  ERROR: {result['error'][:200]}", flush=True)
         tmp = path.with_suffix(".tmp")
         tmp.write_text(json.dumps(result, default=_to_jsonable, indent=1))
         tmp.rename(path)

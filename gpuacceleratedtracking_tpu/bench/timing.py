@@ -74,6 +74,29 @@ def benchmark(
     return TrialStats.from_times(times)
 
 
+def benchmark_pipelined(
+    fn: Callable,
+    arg_sets: Sequence[tuple],
+    trials: int = 7,
+) -> TrialStats:
+    """Time ``fn`` by enqueueing one async dispatch per arg-set and fencing
+    once at the end (device streams execute in order, so materializing the
+    last output implies all are done). Per-call time = total / len(arg_sets).
+
+    Preferred over wrapping reps in `lax.scan`: on the current libtpu a scan
+    around these correlators crashes the compiler (SIGABRT in Mosaic layout
+    inference), and scan-of-pallas multiplies compile time regardless.
+    """
+    _sync(fn(*arg_sets[0]))  # compile + settle
+    times = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        outs = [fn(*a) for a in arg_sets]
+        _sync(outs[-1])
+        times.append((time.perf_counter() - t0) / len(arg_sets))
+    return TrialStats.from_times(times)
+
+
 def _sync(x) -> None:
     """True execution fence: host-materialize one output leaf.
 

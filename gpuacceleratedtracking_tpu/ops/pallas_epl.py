@@ -267,10 +267,17 @@ def _fused_kernel(
         outim_ref[...] = jnp.zeros_like(outim_ref)
 
     # --- tap-shifted MAC: tap l uses replica samples shifted by delta_l ---
+    # Sums stay 2-D ([A, 1] into a [:, l:l+1] ref slice): rank-1 vector writes
+    # crash libtpu's layout inference for A > 1 on real hardware.
+    num_ants = sre.shape[0]
     for l, delta in enumerate(deltas):
         tap = _flat_shift(rep, delta)[:TILE_ROWS]   # [TR, 128]
-        outre_ref[:, l] += jnp.sum(dw_re * tap, axis=(1, 2))
-        outim_ref[:, l] += jnp.sum(dw_im * tap, axis=(1, 2))
+        s_re = jnp.sum((dw_re * tap).reshape(num_ants, -1), axis=1,
+                       keepdims=True)
+        s_im = jnp.sum((dw_im * tap).reshape(num_ants, -1), axis=1,
+                       keepdims=True)
+        outre_ref[:, l : l + 1] += s_re
+        outim_ref[:, l : l + 1] += s_im
 
 
 def correlate_pallas_fused(
@@ -439,10 +446,15 @@ def _bank_kernel(
         outre_ref[...] = jnp.zeros_like(outre_ref)
         outim_ref[...] = jnp.zeros_like(outim_ref)
 
+    num_ants = sre.shape[0]
     for l, delta in enumerate(deltas):
         tap = _flat_shift(rep, delta)[:tile_rows]
-        outre_ref[0, :, l] += jnp.sum(dw_re * tap, axis=(1, 2))
-        outim_ref[0, :, l] += jnp.sum(dw_im * tap, axis=(1, 2))
+        s_re = jnp.sum((dw_re * tap).reshape(num_ants, -1), axis=1,
+                       keepdims=True)
+        s_im = jnp.sum((dw_im * tap).reshape(num_ants, -1), axis=1,
+                       keepdims=True)
+        outre_ref[0, :, l : l + 1] += s_re
+        outim_ref[0, :, l : l + 1] += s_im
 
 
 def correlate_pallas_bank_onehot(
@@ -690,10 +702,15 @@ def _bank_transition_kernel(
         outre_ref[...] = jnp.zeros_like(outre_ref)
         outim_ref[...] = jnp.zeros_like(outim_ref)
 
+    num_ants = sre.shape[0]
     for l, delta in enumerate(deltas):
         tap = _flat_shift(rep, delta)[:tile_rows]
-        outre_ref[0, :, l] += jnp.sum(dw_re * tap, axis=(1, 2))
-        outim_ref[0, :, l] += jnp.sum(dw_im * tap, axis=(1, 2))
+        s_re = jnp.sum((dw_re * tap).reshape(num_ants, -1), axis=1,
+                       keepdims=True)
+        s_im = jnp.sum((dw_im * tap).reshape(num_ants, -1), axis=1,
+                       keepdims=True)
+        outre_ref[0, :, l : l + 1] += s_re
+        outim_ref[0, :, l : l + 1] += s_im
 
 
 def correlate_pallas_bank(
