@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..models import EPLCorrelator, correlator_sample_shifts, gen_signal, get_system, soa
 from ..ops import registry, replica as replica_ops
 from ..ops.reduce import get_reduction
-from .timing import TrialStats, benchmark, benchmark_pipelined
+from .timing import TrialStats, benchmark, benchmark_differential, benchmark_pipelined
 
 REALTIME_BOUND_S = 1e-3  # process 1 ms of signal in under 1 ms (paper.tex:345)
 
@@ -100,22 +100,33 @@ def run_kernel_benchmark(config: dict) -> dict:
         code_length=system.code_length,
     )
 
-    @jax.jit
-    def run(off):
-        are, aim = corr(
-            sre, sim, codes, 0, 1500.0, fs, off, system.code_frequency, off
-        )
-        return are.sum() + aim.sum()
+    # reps are unrolled inside one jitted call (a lax.scan wrapper crashes
+    # the current libtpu compiler on these kernels) and timed differentially
+    # so the fixed per-dispatch cost cancels (see benchmark_differential).
+    def make_fn(r):
+        @jax.jit
+        def run(offs):
+            total = jnp.float32(0.0)
+            for i in range(r):
+                are, aim = corr(
+                    sre, sim, codes, 0, 1500.0, fs, offs[i],
+                    system.code_frequency, offs[i],
+                )
+                total = total + are.sum() + aim.sum()
+            return total
 
-    arg_sets = [
-        (jax.device_put(jnp.float32(0.001 * i), device),) for i in range(reps)
-    ]
-    stats = benchmark_pipelined(run, arg_sets, trials=trials)
+        offs = jax.device_put(
+            jnp.linspace(0.0, 0.1, r).astype(jnp.float32), device
+        )
+        return run, (offs,)
+
+    stats = benchmark_differential(make_fn, reps, trials=trials)
 
     results = dict(config)
     results.update(stats.to_dict())
-    results["realtime_ratio"] = stats.minimum / REALTIME_BOUND_S
-    results["samples_per_s"] = num_samples * num_ants / stats.minimum
+    floor = max(stats.minimum, 1e-12)  # differential clamp can hit 0 exactly
+    results["realtime_ratio"] = floor / REALTIME_BOUND_S
+    results["samples_per_s"] = num_samples * num_ants / floor
     return add_metadata(results, processor, algorithm)
 
 
@@ -143,16 +154,21 @@ def run_reduction_benchmark(config: dict) -> dict:
         jax.random.normal(jax.random.key(1), shape, jnp.float32), device
     )
 
-    @jax.jit
-    def run(s):
-        are, aim = red(prod_re * s, prod_im * s)
-        return are.sum() + aim.sum()
+    def make_fn(r):
+        @jax.jit
+        def run(scales):
+            total = jnp.float32(0.0)
+            for i in range(r):
+                are, aim = red(prod_re * scales[i], prod_im * scales[i])
+                total = total + are.sum() + aim.sum()
+            return total
 
-    arg_sets = [
-        (jax.device_put(jnp.float32(1.0 + 0.001 * i), device),)
-        for i in range(reps)
-    ]
-    stats = benchmark_pipelined(run, arg_sets, trials=trials)
+        scales = jax.device_put(
+            jnp.linspace(1.0, 1.01, r).astype(jnp.float32), device
+        )
+        return run, (scales,)
+
+    stats = benchmark_differential(make_fn, reps, trials=trials)
     results = dict(config)
     results.update(stats.to_dict())
     return add_metadata(results, processor, algorithm)
@@ -182,18 +198,24 @@ def run_replica_benchmark(config: dict) -> dict:
     device = _resolve_device(processor)
     codes = jax.device_put(jnp.asarray(system.codes), device)
 
-    @jax.jit
-    def run(phi):
-        rep = gen(
-            codes, 0, system.code_frequency, fs, phi, num_samples, -1, 1,
-            system.code_length,
-        )
-        return rep.sum()
+    def make_fn(r):
+        @jax.jit
+        def run(phases):
+            total = jnp.float32(0.0)
+            for i in range(r):
+                rep = gen(
+                    codes, 0, system.code_frequency, fs, phases[i],
+                    num_samples, -1, 1, system.code_length,
+                )
+                total = total + rep.sum()
+            return total
 
-    arg_sets = [
-        (jax.device_put(jnp.float32(0.01 * i), device),) for i in range(reps)
-    ]
-    stats = benchmark_pipelined(run, arg_sets, trials=trials)
+        phases = jax.device_put(
+            jnp.linspace(0.0, 0.5, r).astype(jnp.float32), device
+        )
+        return run, (phases,)
+
+    stats = benchmark_differential(make_fn, reps, trials=trials)
     results = dict(config)
     results.update(stats.to_dict())
     return add_metadata(results, processor, algorithm)

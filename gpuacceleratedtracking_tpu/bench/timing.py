@@ -97,6 +97,35 @@ def benchmark_pipelined(
     return TrialStats.from_times(times)
 
 
+def benchmark_differential(
+    make_fn: Callable[[int], tuple[Callable, tuple]],
+    reps: int,
+    trials: int = 7,
+) -> TrialStats:
+    """Per-iteration time via paired subtraction of two unroll depths.
+
+    ``make_fn(r)`` returns ``(fn, args)`` where one ``fn(*args)`` call executes
+    ``r`` iterations of the workload. The per-iteration estimate is
+    ``(t(2 reps) - t(reps)) / reps`` per paired trial — this cancels the fixed
+    per-dispatch cost, which on a tunneled chip (~50 ms round trip) dwarfs
+    microsecond kernels and would otherwise be what the sweep measures.
+    """
+    fn_a, args_a = make_fn(reps)
+    fn_b, args_b = make_fn(2 * reps)
+    _sync(fn_a(*args_a))
+    _sync(fn_b(*args_b))
+    diffs = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        _sync(fn_a(*args_a))
+        ta = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _sync(fn_b(*args_b))
+        tb = time.perf_counter() - t0
+        diffs.append(max(tb - ta, 0.0) / reps)
+    return TrialStats.from_times(diffs)
+
+
 def _sync(x) -> None:
     """True execution fence: host-materialize one output leaf.
 

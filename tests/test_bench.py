@@ -68,7 +68,7 @@ class TestHarness:
                 "trials": 2,
             }
         )
-        assert res["Minimum"] > 0
+        assert res["Minimum"] >= 0  # differential timing may clamp to 0
         assert res["Minimum"] <= res["Maximum"]
         assert res["samples_per_s"] > 0
         assert res["backend"] == "cpu"
@@ -86,7 +86,7 @@ class TestHarness:
                 "trials": 2,
             }
         )
-        assert res["Minimum"] > 0
+        assert res["Minimum"] >= 0
 
     def test_replica_benchmark_smoke(self):
         res = run_replica_benchmark(
@@ -99,7 +99,7 @@ class TestHarness:
                 "trials": 2,
             }
         )
-        assert res["Minimum"] > 0
+        assert res["Minimum"] >= 0
 
 
 class TestSweep:
