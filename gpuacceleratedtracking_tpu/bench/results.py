@@ -22,7 +22,9 @@ def eval_results(df, group_keys: Optional[list[str]] = None):
     summary = (
         df.groupby(group_keys)[cols].min().reset_index().sort_values(group_keys)
     )
-    if "Minimum" in summary.columns:
-        summary["realtime_x"] = 1e-3 / summary["Minimum"]
+    if "Median" in summary.columns:
+        # Median, not minimum: differential timings can clamp a noisy minimum
+        # to zero, and the median is the robust central estimate there.
+        summary["realtime_x"] = 1e-3 / summary["Median"].clip(lower=1e-9)
     print(summary.to_string(index=False))
     return summary

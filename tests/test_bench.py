@@ -130,11 +130,13 @@ class TestSweep:
 
     def test_collect_and_eval(self, tmp_path):
         def runner(config):
+            t = 1e-4 * config["num_samples"] / 2048
             return {
                 "GNSS": "GPSL1",
                 "algorithm": "fused_xla",
                 "num_samples": config["num_samples"],
-                "Minimum": 1e-4 * config["num_samples"] / 2048,
+                "Minimum": t,
+                "Median": t,
             }
 
         run_sweep(
