@@ -30,7 +30,7 @@ NUM_SAMPLES = int(os.environ.get("BENCH_SAMPLES", "32768"))
 REPS = int(os.environ.get("BENCH_REPS", "20"))
 TRIALS = int(os.environ.get("BENCH_TRIALS", "5"))
 ALGORITHM = os.environ.get("BENCH_ALGO", "pallas_bank")
-TILE_ROWS = int(os.environ.get("BENCH_TILE_ROWS", "256"))
+TILE_ROWS = int(os.environ.get("BENCH_TILE_ROWS", "0"))  # 0 = autotune cache
 BASELINE_SAMPLES_PER_S = 1e8
 
 
@@ -42,8 +42,12 @@ def main():
         gen_signal,
         soa,
     )
+    from gpuacceleratedtracking_tpu.bench.autotune import best_tile_rows
     from gpuacceleratedtracking_tpu.ops import registry
 
+    tile_rows = TILE_ROWS or best_tile_rows(
+        ALGORITHM, NUM_CHANNELS, NUM_SAMPLES
+    )
     system = GPSL1()
     fs = NUM_SAMPLES / 1e-3
     signal, _ = gen_signal(system, 0, 1500.0, NUM_SAMPLES)
@@ -66,7 +70,7 @@ def main():
                 sample_shifts=shifts,
                 code_length=system.code_length,
                 sampling_frequency=fs,
-                tile_rows=TILE_ROWS,
+                tile_rows=tile_rows,
                 **(
                     {"nominal_code_frequency": system.code_frequency}
                     if ALGORITHM == "pallas_bank"

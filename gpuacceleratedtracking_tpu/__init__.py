@@ -4,13 +4,16 @@ A from-scratch JAX/XLA/Pallas re-design of the capabilities of
 coezmaden/GPUAcceleratedTracking (CUDA.jl research code for multi-antenna GNSS
 EPL correlation) plus the closed-loop tracking its Tracking.jl dependency
 provided: GPS L1 C/A + L5 code generation, synthetic signal models, fused
-Early/Prompt/Late correlation kernels, on-device DLL/PLL loops, channel banks
-sharded over TPU meshes, and a benchmark harness against the paper's real-time
-bound.
+Early/Prompt/Late correlation kernels, PCPS acquisition, on-device DLL/PLL
+loops with secondary-code handling, channel banks sharded over TPU meshes, and
+a benchmark harness against the paper's real-time bound.
 """
 
 __version__ = "0.1.0"
 
-from . import bench, models, ops, parallel, runtime, tracking
+from . import acquire, bench, models, ops, parallel, runtime, tracking
 
-__all__ = ["bench", "models", "ops", "parallel", "runtime", "tracking", "__version__"]
+__all__ = [
+    "acquire", "bench", "models", "ops", "parallel", "runtime", "tracking",
+    "__version__",
+]

@@ -1,0 +1,162 @@
+"""PCPS acquisition: FFT-based parallel code-phase search.
+
+The reference benchmarks tracking only; its ecosystem's acquisition
+(Acquisition.jl, feeding `TrackingState` — see the reference's CPU baseline
+construction at `/root/reference/src/benchmarks.jl:54`) is re-provided here
+TPU-natively so a user can run the full cold-start -> track pipeline on chip:
+
+- circular correlation over all code phases at once via ``FFT * conj(FFT)``
+  (XLA lowers FFTs onto the TPU efficiently — no Pallas needed; the MXU/VPU
+  pipeline stays for the tracking hot loop),
+- Doppler bins batched with `lax.map` over a vmapped kernel so VMEM/HBM use is
+  bounded at ``bin_batch x K x N`` complex words,
+- K satellites searched simultaneously (the code-table FFT is one batched FFT).
+
+Outputs hand off directly to `tracking.init_state` (0-based PRNs, Doppler in
+Hz, code phase in chips).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.signal import upsample_code
+from ..models.system import GNSSSystem
+
+
+class AcquisitionResult(NamedTuple):
+    """Per-satellite acquisition estimates (leading axis = searched PRNs)."""
+
+    prn: jnp.ndarray              # int32, 0-based (as searched)
+    carrier_doppler: jnp.ndarray  # Hz, best bin
+    code_phase: jnp.ndarray       # chips, in [0, code_length)
+    peak_metric: jnp.ndarray      # peak power / mean off-peak power
+    power: jnp.ndarray            # raw peak power
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_samples", "code_length", "num_bins", "bin_batch",
+    ),
+)
+def _pcps_impl(
+    signal_re, signal_im, code_ffts, dopplers, sampling_frequency,
+    intermediate_frequency, code_frequency, num_samples, code_length,
+    num_bins, bin_batch,
+):
+    n = jnp.arange(num_samples, dtype=jnp.float32)
+    sig = jax.lax.complex(signal_re, signal_im)
+
+    def one_bin(doppler):
+        f = (intermediate_frequency + doppler) / sampling_frequency
+        cyc = f * n
+        cyc = cyc - jnp.floor(cyc)
+        theta = (2 * jnp.pi) * cyc
+        carrier = jax.lax.complex(jnp.cos(theta), -jnp.sin(theta))
+        s_fft = jnp.fft.fft(sig * carrier)
+        corr = jnp.fft.ifft(s_fft[None, :] * jnp.conj(code_ffts))  # [K, N]
+        return jnp.abs(corr) ** 2
+
+    # lax.map over bin batches bounds memory to [bin_batch, K, N].
+    pad_bins = (num_bins + bin_batch - 1) // bin_batch * bin_batch
+    dops = jnp.pad(dopplers, (0, pad_bins - num_bins), mode="edge")
+    power = jax.lax.map(
+        jax.vmap(one_bin), dops.reshape(-1, bin_batch)
+    )                                                   # [B/bb, bb, K, N]
+    power = power.reshape(pad_bins, *power.shape[2:])[:num_bins]  # [D, K, N]
+
+    # Peak over (doppler, phase) per satellite.
+    k = power.shape[1]
+    flat = power.transpose(1, 0, 2).reshape(k, -1)      # [K, D*N]
+    idx = jnp.argmax(flat, axis=1)
+    peak = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+    bin_idx = idx // num_samples
+    phase_idx = idx % num_samples
+
+    # Noise floor: mean power excluding +/-1 chip around the peak phase
+    # (all Doppler bins), the standard PCPS test statistic.
+    samples_per_chip = sampling_frequency / code_frequency
+    guard = jnp.ceil(samples_per_chip).astype(jnp.int32)
+    pos = jnp.arange(num_samples)[None, :]
+    dist = jnp.abs(pos - phase_idx[:, None])
+    dist = jnp.minimum(dist, num_samples - dist)
+    mask = (dist > guard).astype(jnp.float32)           # [K, N]
+    floor = jnp.sum(
+        jnp.mean(power, axis=0) * mask, axis=1
+    ) / jnp.maximum(jnp.sum(mask, axis=1), 1)
+    metric = peak / jnp.maximum(floor, 1e-30)
+
+    code_phase = (
+        phase_idx.astype(jnp.float32) * (code_frequency / sampling_frequency)
+    ) % code_length
+    # Tracking replicas start at this shift into the code: the signal's code
+    # phase at sample 0 is (code_length - shift) mod code_length.
+    code_phase = (code_length - code_phase) % code_length
+    doppler = dopplers[bin_idx]
+    return doppler, code_phase, metric, peak
+
+
+def acquire(
+    system: GNSSSystem,
+    signal_re: jax.Array,
+    signal_im: jax.Array,
+    prns,
+    sampling_frequency: float,
+    *,
+    intermediate_frequency: float = 0.0,
+    max_doppler: float = 5000.0,
+    doppler_step: Optional[float] = None,
+    bin_batch: int = 8,
+) -> AcquisitionResult:
+    """Search ``prns`` (0-based) in one signal block over a Doppler grid.
+
+    ``signal_*``: ``[N]`` f32 planes (one antenna; beamform upstream if
+    needed). ``doppler_step`` defaults to ``2/(3 T)`` — the standard 2/3-bin
+    spacing for coherent integration time ``T = N / fs``. Returns estimates
+    aligned with ``prns``; accept a satellite when ``peak_metric`` is large
+    (noiseless signals give >> 10; a common threshold with noise is ~2.5).
+    """
+    num_samples = signal_re.shape[-1]
+    t = num_samples / sampling_frequency
+    if doppler_step is None:
+        doppler_step = 2.0 / (3.0 * t)
+    num_bins = int(2 * max_doppler / doppler_step) + 1
+    dopplers = jnp.linspace(
+        -max_doppler, max_doppler, num_bins
+    ).astype(jnp.float32)
+
+    prns = jnp.asarray(prns, jnp.int32)
+    chips = upsample_code(
+        jnp.asarray(system.codes), prns, num_samples, system.code_frequency,
+        sampling_frequency, 0.0, system.code_length,
+    )                                                   # [K, N]
+    code_ffts = jnp.fft.fft(chips.astype(jnp.complex64))
+
+    doppler, code_phase, metric, peak = _pcps_impl(
+        signal_re, signal_im, code_ffts, dopplers,
+        float(sampling_frequency), float(intermediate_frequency),
+        float(system.code_frequency), int(num_samples),
+        int(system.code_length), int(num_bins), int(bin_batch),
+    )
+    return AcquisitionResult(
+        prn=prns, carrier_doppler=doppler, code_phase=code_phase,
+        peak_metric=metric, power=peak,
+    )
+
+
+def to_track_states(result: AcquisitionResult, cn0_window: int = 20):
+    """Acquisition -> tracking handoff: build a seeded channel-bank state."""
+    from ..tracking.state import init_state
+
+    return init_state(
+        np.asarray(result.prn),
+        carrier_doppler=np.asarray(result.carrier_doppler),
+        code_phase=np.asarray(result.code_phase),
+        cn0_window=cn0_window,
+    )

@@ -7,7 +7,9 @@ from .harness import (
     run_kernel_benchmark,
     run_reduction_benchmark,
     run_replica_benchmark,
+    run_track_benchmark,
 )
+from .autotune import autotune_tile_rows, best_tile_rows
 from .sweep import collect_results, dict_list, run_sweep, savename
 from .results import eval_results
 
@@ -19,6 +21,9 @@ __all__ = [
     "run_kernel_benchmark",
     "run_reduction_benchmark",
     "run_replica_benchmark",
+    "run_track_benchmark",
+    "autotune_tile_rows",
+    "best_tile_rows",
     "collect_results",
     "dict_list",
     "run_sweep",

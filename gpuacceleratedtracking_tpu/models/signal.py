@@ -92,11 +92,28 @@ def _gen_signal_impl(
     start_carrier_phase,
     code_frequency,
     code_length,
+    secondary_code=None,
+    secondary_phase=0,
 ):
     chips = upsample_code(
         codes, prn, num_samples, code_frequency, sampling_frequency,
         start_code_phase, code_length,
     )
+    if secondary_code is not None:
+        # Overlay (e.g. L5 Neuman-Hofman) sign: one +/-1 per primary code
+        # period, selected by the integer part of the code phase in periods.
+        from ..ops.replica import code_phase_steps
+
+        phase = code_phase_steps(
+            code_frequency, sampling_frequency, num_samples
+        ) + jnp.float32(start_code_phase)
+        period = (
+            jnp.floor(phase / code_length).astype(jnp.int32) + secondary_phase
+        )
+        sign = jnp.take(
+            secondary_code, jnp.mod(period, secondary_code.shape[0]), axis=0
+        )
+        chips = chips * sign
     carrier = gen_carrier(
         num_samples, carrier_frequency, sampling_frequency, start_carrier_phase
     )
@@ -121,6 +138,8 @@ def gen_signal(
     code_frequency: Optional[float] = None,
     noise_std: float = 0.0,
     key: Optional[jax.Array] = None,
+    secondary_code=None,
+    secondary_phase: int = 0,
 ):
     """Generate a synthetic GNSS signal block.
 
@@ -135,6 +154,9 @@ def gen_signal(
       code_frequency: chipping-rate override (nominal + code Doppler).
       noise_std: per-component AWGN sigma (0 = noiseless, like the reference).
       key: PRNG key, required when noise_std > 0.
+      secondary_code: optional ``[S]`` +/-1 overlay (one sign per primary code
+        period, e.g. ``system.secondary_code`` for L5 Neuman-Hofman); applied
+        with starting period offset ``secondary_phase``.
 
     Returns:
       (signal, sampling_frequency): complex64 ``[N]``, ``[A, N]``, ``[K, N]`` or
@@ -153,6 +175,8 @@ def gen_signal(
         float(start_carrier_phase),
         float(code_frequency if code_frequency is not None else system.code_frequency),
         int(system.code_length),
+        None if secondary_code is None else jnp.asarray(secondary_code, jnp.float32),
+        int(secondary_phase),
     )
     if noise_std > 0.0:
         if key is None:

@@ -457,6 +457,19 @@ def _bank_kernel(
         outim_ref[0, :, l : l + 1] += s_im
 
 
+def prepare_bank_code_tiles_onehot(
+    codes: jax.Array, prn: jax.Array, *, code_length: int
+) -> jax.Array:
+    """Per-channel padded code planes ``[K, ceil(Lc/128), 128]`` for the
+    one-hot bank kernel. Hoist this out of `lax.scan` loops: inside a scan the
+    channel PRNs ride the carry, so XLA re-gathers the table every block."""
+    num_hi = pl.cdiv(code_length, LANES)
+    code_cols = jnp.take(codes.T, jnp.asarray(prn), axis=0)        # [K, Lc]
+    return _pad_to(code_cols, num_hi * LANES).reshape(
+        prn.shape[0], num_hi, LANES
+    )
+
+
 def correlate_pallas_bank_onehot(
     signal_re: jax.Array,
     signal_im: jax.Array,
@@ -470,6 +483,7 @@ def correlate_pallas_bank_onehot(
     sample_shifts: Sequence[int],
     code_length: int,
     tile_rows: int = 64,
+    code_tiles: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused EPL correlation of one shared front-end block against K channels.
 
@@ -496,8 +510,11 @@ def correlate_pallas_bank_onehot(
     num_k = prn.shape[0]
 
     num_hi = pl.cdiv(code_length, LANES)
-    code_cols = jnp.take(codes.T, jnp.asarray(prn), axis=0)        # [K, Lc]
-    code2d = _pad_to(code_cols, num_hi * LANES).reshape(num_k, num_hi, LANES)
+    if code_tiles is None:
+        code_tiles = prepare_bank_code_tiles_onehot(
+            codes, prn, code_length=code_length
+        )
+    code2d = code_tiles
 
     tile = tile_rows * LANES
     num_tiles = pl.cdiv(num_samples, tile)
@@ -564,7 +581,8 @@ def _bank_transition_kernel(
     params_ref, base_ref, sre_ref, sim_ref, codecol_ref,
     outre_ref, outim_ref,
     *, deltas: tuple, code_length: int, tile_rows: int, num_c: int,
-    rho_nom: float, fcar_nom_cyc: float,
+    rho_nom: float, fcar_nom_cyc: float, chans_per_step: int = 1,
+    mm_dtype=jnp.bfloat16, tap_mac: str = "mxu",
 ):
     """One (channel, tile) step of the transition-formulation bank correlator.
 
@@ -594,11 +612,43 @@ def _bank_transition_kernel(
     ext = tile_rows + 1
     num_e = (ext + 7) // 8 * 8
     cr = num_c // LANES
-    f_cyc = params_ref[k, 0]
-    phi_cyc = params_ref[k, 1]
-    rho = params_ref[k, 2]
-    phi_code = params_ref[k, 3]
     lc = jnp.float32(code_length)
+
+    @pl.when(i == 0)
+    def _():
+        outre_ref[...] = jnp.zeros_like(outre_ref)
+        outim_ref[...] = jnp.zeros_like(outim_ref)
+
+    sre = sre_ref[...]
+    sim = sim_ref[...]
+    num_ants = sre.shape[0]
+
+    # The grid batches `chans_per_step` channels per step (unrolled below):
+    # per-step fixed cost (scalar reads, small-matmul latency, serial
+    # dependency chains) amortizes over the batch and the independent
+    # per-channel chains give Mosaic ILP to pipeline.
+    for g in range(chans_per_step):
+        ch = k * chans_per_step + g
+        _transition_channel(
+            params_ref, base_ref, sre, sim, codecol_ref, outre_ref,
+            outim_ref, ch, g, i, deltas=deltas, code_length=code_length,
+            tile_rows=tile_rows, num_c=num_c, rho_nom=rho_nom,
+            fcar_nom_cyc=fcar_nom_cyc, num_ants=num_ants, ext=ext,
+            num_e=num_e, cr=cr, tile=tile, lc=lc, mm_dtype=mm_dtype,
+            tap_mac=tap_mac,
+        )
+
+
+def _transition_channel(
+    params_ref, base_ref, sre, sim, codecol_ref, outre_ref, outim_ref,
+    ch, g, i, *, deltas, code_length, tile_rows, num_c, rho_nom,
+    fcar_nom_cyc, num_ants, ext, num_e, cr, tile, lc, mm_dtype=jnp.bfloat16,
+    tap_mac="mxu",
+):
+    f_cyc = params_ref[ch, 0]
+    phi_cyc = params_ref[ch, 1]
+    rho = params_ref[ch, 2]
+    phi_code = params_ref[ch, 3]
 
     # Per-tile phase advance: static f64-exact nominal base + tiny residual.
     n0 = (i * tile).astype(jnp.float32)
@@ -612,8 +662,11 @@ def _bank_transition_kernel(
 
     # 1. Align the code window: flat shift by c0 = 128 q + r as two
     # permutation matmuls + a carry select (see _flat_shift for the static
-    # analog). All dynamic dependence is scalar compares.
-    code2d = codecol_ref[0]                                     # [CRT, 128]
+    # analog). All dynamic dependence is scalar compares. All matmuls in this
+    # kernel run bf16 with f32 accumulation: operands are exact small integers
+    # (codes +/-1, permutation/step masks 0/1, chip deltas in {-2,0,2}), so
+    # bf16 is bit-exact while the MXU runs ~6-8x faster than f32 passes.
+    code2d = codecol_ref[g]                                     # [CRT, 128]
     crt = code2d.shape[0]
     lane_diff = jax.lax.rem(
         jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
@@ -621,18 +674,18 @@ def _bank_transition_kernel(
         + LANES,
         LANES,
     )
-    q_lane = (lane_diff == r).astype(jnp.float32)               # [128, 128]
+    q_lane = (lane_diff == r).astype(mm_dtype)              # [128, 128]
     y = jax.lax.dot_general(
-        code2d, q_lane, (((1,), (0,)), ((), ())),
+        code2d.astype(mm_dtype), q_lane, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                           # [CRT, 128]
     row_diff = (
         jax.lax.broadcasted_iota(jnp.int32, (crt, crt), 1)
         - jax.lax.broadcasted_iota(jnp.int32, (crt, crt), 0)
     )
-    p_row = (row_diff == q).astype(jnp.float32)                 # [CRT, CRT]
+    p_row = (row_diff == q).astype(mm_dtype)                # [CRT, CRT]
     a1 = jax.lax.dot_general(
-        p_row, y, (((1,), (0,)), ((), ())),
+        p_row, y.astype(mm_dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )[: cr + 1]                                                 # [CR+1, 128]
     a2 = jnp.concatenate([a1[1:], jnp.zeros_like(a1[:1])], axis=0)
@@ -653,10 +706,11 @@ def _bank_transition_kernel(
     sel_chip = jax.lax.broadcasted_iota(jnp.int32, (LANES, num_c), 1)
     parts = []
     for a in range(cr):
-        sel = (sel_chip == a * LANES + sel_lane).astype(jnp.float32)  # [128, C]
+        sel = (sel_chip == a * LANES + sel_lane).astype(mm_dtype)  # [128, C]
         parts.append(
             jax.lax.dot_general(
-                delta2d[a : a + 1], sel, (((1,), (0,)), ((), ())),
+                delta2d[a : a + 1].astype(mm_dtype), sel,
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
         )
@@ -678,39 +732,116 @@ def _bank_transition_kernel(
     r_sub = jax.lax.broadcasted_iota(jnp.int32, (num_e, 1), 0)
     ge = (r_sub > rt_lane).astype(jnp.float32)                  # [E, C]
     eq = (r_sub == rt_lane).astype(jnp.float32)
-    g = jnp.sum(ge * delta_lane, axis=1, keepdims=True)         # [E, 1]
+    # NOTE: an MXU matvec ([E,C] x [1,C] contract C, bf16) for g_rows hits a
+    # Mosaic verification bug (vector.broadcast bf16->f32); VPU mult+reduce.
+    g_rows = jnp.sum(ge * delta_lane, axis=1, keepdims=True)    # [E, 1]
     me = eq * delta_lane                                        # [E, C]
     l_lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    lstep = (l_lane >= lt_col).astype(jnp.float32)              # [C, 128]
+    lstep = (l_lane >= lt_col).astype(mm_dtype)             # [C, 128]
     h = jax.lax.dot_general(
-        me, lstep, (((1,), (0,)), ((), ())),
+        me.astype(mm_dtype), lstep, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                           # [E, 128]
-    rep = (g + h)[:ext]                                         # [ext, 128]
+    rep = (g_rows + h)[:ext]                                    # [ext, 128]
 
     # Carrier wipe-off + tap MAC (the per-sample floor of the pipeline).
     cos, sin = _carrier_tile(
         jnp.int32(0), tile_rows, f_cyc, phi_car_tile, tile=tile
     )
-    sre = sre_ref[...]
-    sim = sim_ref[...]
     dw_re = sre * cos + sim * sin
     dw_im = sim * cos - sre * sin
 
-    @pl.when(i == 0)
-    def _():
-        outre_ref[...] = jnp.zeros_like(outre_ref)
-        outim_ref[...] = jnp.zeros_like(outim_ref)
-
-    num_ants = sre.shape[0]
+    if tap_mac == "mxu":
+        # Tap MAC as ONE MXU contraction [A, T] x [L, T] -> [A, L] (the
+        # ablation showed per-channel VPU lane reductions dominating the
+        # whole kernel: 6 x 32k-element jnp.sums per channel; the MXU does
+        # the multiply-accumulate in its pipeline instead).
+        taps = jnp.stack(
+            [_flat_shift(rep, delta)[:tile_rows] for delta in deltas], axis=0
+        ).reshape(len(deltas), tile)                            # [L, T]
+        dw_re2 = dw_re.reshape(num_ants, tile)
+        dw_im2 = dw_im.reshape(num_ants, tile)
+        acc_re = jax.lax.dot_general(
+            dw_re2, taps, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                       # [A, L]
+        acc_im = jax.lax.dot_general(
+            dw_im2, taps, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outre_ref[g] += acc_re
+        outim_ref[g] += acc_im
+        return
+    # VPU variant (audit / A-B baseline): per-tap elementwise mult + reduce.
     for l, delta in enumerate(deltas):
         tap = _flat_shift(rep, delta)[:tile_rows]
         s_re = jnp.sum((dw_re * tap).reshape(num_ants, -1), axis=1,
                        keepdims=True)
         s_im = jnp.sum((dw_im * tap).reshape(num_ants, -1), axis=1,
                        keepdims=True)
-        outre_ref[0, :, l : l + 1] += s_re
-        outim_ref[0, :, l : l + 1] += s_im
+        outre_ref[g, :, l : l + 1] += s_re
+        outim_ref[g, :, l : l + 1] += s_im
+
+
+def _transition_geometry(
+    num_samples: int,
+    tile_rows: int,
+    sampling_frequency: float,
+    code_length: int,
+    nominal_code_frequency: float | None,
+    max_chips_per_sample: float | None,
+) -> tuple[int, int, int]:
+    """Static tile geometry of the transition bank kernel.
+
+    Returns ``(tile_rows, num_c, crt)``: the clamped time-tile row count, the
+    per-tile chip-window width (lane-padded), and the row count of the tiled
+    per-channel code table. Shared by the kernel wrapper and
+    `prepare_bank_code_tiles` so hoisted tables always match.
+    """
+    tile_rows = min(tile_rows, pl.cdiv(num_samples, LANES))
+    ext = tile_rows + 1
+    if max_chips_per_sample is None:
+        max_chips_per_sample = (
+            float(nominal_code_frequency) / float(sampling_frequency) * 1.001
+            if nominal_code_frequency is not None
+            else 0.65
+        )
+    if max_chips_per_sample >= 1.0:
+        raise ValueError("transition kernel requires < 1 chip per sample")
+    num_c = (
+        (int(math.ceil(max_chips_per_sample * ext * LANES)) + 2 + LANES - 1)
+        // LANES * LANES
+    )
+    crt = (code_length + num_c + 2 + LANES - 1) // LANES
+    return tile_rows, num_c, crt
+
+
+def prepare_bank_code_tiles(
+    codes: jax.Array,
+    prn: jax.Array,
+    *,
+    code_length: int,
+    num_samples: int,
+    sampling_frequency: float,
+    tile_rows: int = 256,
+    nominal_code_frequency: float | None = None,
+    max_chips_per_sample: float | None = None,
+) -> jax.Array:
+    """Per-channel tiled code tables ``[K, crt, 128]`` for the transition bank.
+
+    For K=1024 GPS L1 channels this is ~5.7 MB of gather+tile work; inside a
+    `lax.scan` tracking loop the PRNs ride the carry and XLA rebuilds it every
+    block — hoist it once per run and pass it as ``code_tiles``. Geometry
+    arguments must match the later `correlate_pallas_bank` call.
+    """
+    _, _, crt = _transition_geometry(
+        num_samples, tile_rows, float(sampling_frequency), code_length,
+        nominal_code_frequency, max_chips_per_sample,
+    )
+    code_cols = jnp.take(codes.T, jnp.asarray(prn), axis=0)       # [K, Lc]
+    reps_needed = math.ceil(crt * LANES / code_length)
+    codecol = jnp.tile(code_cols, (1, reps_needed))[:, : crt * LANES]
+    return codecol.reshape(prn.shape[0], crt, LANES)
 
 
 def correlate_pallas_bank(
@@ -729,6 +860,10 @@ def correlate_pallas_bank(
     nominal_code_frequency: float | None = None,
     nominal_carrier_frequency: float = 0.0,
     max_chips_per_sample: float | None = None,
+    code_tiles: jax.Array | None = None,
+    chans_per_step: int = 1,
+    matmul_dtype=jnp.bfloat16,
+    tap_mac: str = "mxu",
 ) -> tuple[jax.Array, jax.Array]:
     """Transition-formulation fused EPL bank correlator (flagship kernel).
 
@@ -756,28 +891,27 @@ def correlate_pallas_bank(
     num_k = prn.shape[0]
     fs = float(sampling_frequency)
 
-    tile_rows = min(tile_rows, pl.cdiv(num_samples, LANES))
+    tile_rows, num_c, crt = _transition_geometry(
+        num_samples, tile_rows, fs, code_length,
+        nominal_code_frequency, max_chips_per_sample,
+    )
     tile = tile_rows * LANES
     ext = tile_rows + 1
-    if max_chips_per_sample is None:
-        max_chips_per_sample = (
-            float(nominal_code_frequency) / fs * 1.001
-            if nominal_code_frequency is not None
-            else 0.65
-        )
-    if max_chips_per_sample >= 1.0:
-        raise ValueError("transition kernel requires < 1 chip per sample")
-    num_c = (
-        (int(math.ceil(max_chips_per_sample * ext * LANES)) + 2 + LANES - 1)
-        // LANES * LANES
-    )
     # Tiled code, flat lane-major [CRT, 128], long enough that a flat shift by
     # any c0 < code_length plus C window reads never leaves the array.
-    crt = (code_length + num_c + 2 + LANES - 1) // LANES
-    code_cols = jnp.take(codes.T, jnp.asarray(prn), axis=0)      # [K, Lc]
-    reps_needed = math.ceil(crt * LANES / code_length)
-    codecol = jnp.tile(code_cols, (1, reps_needed))[:, : crt * LANES]
-    codecol = codecol.reshape(num_k, crt, LANES)
+    if code_tiles is None:
+        code_tiles = prepare_bank_code_tiles(
+            codes, prn, code_length=code_length, num_samples=num_samples,
+            sampling_frequency=fs, tile_rows=tile_rows,
+            nominal_code_frequency=nominal_code_frequency,
+            max_chips_per_sample=max_chips_per_sample,
+        )
+    elif code_tiles.shape[1] != crt:
+        raise ValueError(
+            f"code_tiles rows {code_tiles.shape[1]} != expected {crt}; "
+            "prepare_bank_code_tiles geometry must match the kernel call"
+        )
+    codecol = code_tiles
 
     num_tiles = pl.cdiv(num_samples, tile)
     n_pad = num_tiles * tile
@@ -813,10 +947,19 @@ def correlate_pallas_bank(
         axis=-1,
     )                                                            # [K, 4]
 
+    # Channel batching: pad K up to a multiple of `chans_per_step` by
+    # repeating channel 0 (valid params — padded outputs are sliced off).
+    g = max(int(chans_per_step), 1)
+    num_kp = pl.cdiv(num_k, g) * g
+    if num_kp != num_k:
+        pad = ((0, num_kp - num_k),)
+        params = jnp.pad(params, pad + ((0, 0),), mode="edge")
+        codecol = jnp.pad(codecol, pad + ((0, 0), (0, 0)), mode="edge")
+
     grid_spec = pl.GridSpec(
-        grid=(num_k, num_tiles),
+        grid=(num_kp // g, num_tiles),
         in_specs=[
-            pl.BlockSpec((num_k, 4), lambda k, i: (0, 0),
+            pl.BlockSpec((num_kp, 4), lambda k, i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((num_tiles, 2), lambda k, i: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -824,25 +967,26 @@ def correlate_pallas_bank(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((num_ants, tile_rows, LANES), lambda k, i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, crt, LANES), lambda k, i: (k, 0, 0),
+            pl.BlockSpec((g, crt, LANES), lambda k, i: (k, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, num_ants, num_taps), lambda k, i: (k, 0, 0),
+            pl.BlockSpec((g, num_ants, num_taps), lambda k, i: (k, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, num_ants, num_taps), lambda k, i: (k, 0, 0),
+            pl.BlockSpec((g, num_ants, num_taps), lambda k, i: (k, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
     )
     out_shape = (
-        jax.ShapeDtypeStruct((num_k, num_ants, num_taps), jnp.float32),
-        jax.ShapeDtypeStruct((num_k, num_ants, num_taps), jnp.float32),
+        jax.ShapeDtypeStruct((num_kp, num_ants, num_taps), jnp.float32),
+        jax.ShapeDtypeStruct((num_kp, num_ants, num_taps), jnp.float32),
     )
     kernel = functools.partial(
         _bank_transition_kernel,
         deltas=deltas, code_length=int(code_length),
         tile_rows=int(tile_rows), num_c=int(num_c),
-        rho_nom=rho_nom, fcar_nom_cyc=fcar_nom_cyc,
+        rho_nom=rho_nom, fcar_nom_cyc=fcar_nom_cyc, chans_per_step=g,
+        mm_dtype=matmul_dtype, tap_mac=tap_mac,
     )
     acc_re, acc_im = pl.pallas_call(
         kernel,
@@ -850,6 +994,7 @@ def correlate_pallas_bank(
         out_shape=out_shape,
         interpret=_interpret(),
     )(params, base, sre, sim, codecol)
+    acc_re, acc_im = acc_re[:num_k], acc_im[:num_k]
     if squeeze:
         acc_re, acc_im = acc_re[:, 0], acc_im[:, 0]
     return acc_re, acc_im

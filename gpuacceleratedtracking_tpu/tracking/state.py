@@ -39,6 +39,15 @@ class TrackConfig:
     fll_bandwidth: float = 4.0   # 0 disables the FLL assist
     cn0_window: int = 20
     algorithm: str = "fused_xla"
+    # Time-tile shape for the Pallas bank kernels (None = kernel default).
+    # Tune per scenario with `bench.autotune.autotune_tile_rows` — the
+    # occupancy launch_configuration analog.
+    tile_rows: Optional[int] = None
+    # Secondary (overlay) code wipe-off: +/-1 signs, one per integration
+    # block (e.g. L5 Neuman-Hofman, one sign per 1 ms primary period).
+    # Indexed by the channel's ms_elapsed — align with `init_state`'s
+    # ``ms_elapsed`` after secondary-code sync (`tracking.secondary`).
+    secondary_code: tuple = ()
 
     @classmethod
     def for_system(
@@ -48,6 +57,7 @@ class TrackConfig:
         num_samples: Optional[int] = None,
         num_correlators: int = 3,
         preferred_code_shift: float = 0.5,
+        use_secondary: bool = True,
         **kwargs,
     ) -> "TrackConfig":
         if num_samples is None:
@@ -58,6 +68,19 @@ class TrackConfig:
             sampling_frequency,
             preferred_code_shift,
         )
+        # Auto-enable secondary-code wipe-off when the system has an overlay
+        # and the integration block equals one primary code period (the
+        # overlay flips sign exactly once per period).
+        if (
+            use_secondary
+            and system.secondary_code is not None
+            and "secondary_code" not in kwargs
+        ):
+            period = system.code_length / system.code_frequency
+            if abs(num_samples / sampling_frequency - period) < 1e-9:
+                kwargs["secondary_code"] = tuple(
+                    float(s) for s in system.secondary_code
+                )
         return cls(
             code_frequency=system.code_frequency,
             code_length=system.code_length,
@@ -124,8 +147,14 @@ def init_state(
     carrier_phase: float | np.ndarray = 0.0,
     code_phase: float | np.ndarray = 0.0,
     cn0_window: int = 20,
+    ms_elapsed: int | np.ndarray = 0,
 ) -> TrackState:
-    """Build an initial state; array arguments create a batched channel bank."""
+    """Build an initial state; array arguments create a batched channel bank.
+
+    ``ms_elapsed`` seeds the block counter — set it to the detected overlay
+    offset (`tracking.secondary.detect_secondary_offset`) so
+    `TrackConfig.secondary_code` wipe-off starts phase-aligned.
+    """
     prn = jnp.asarray(prn, jnp.int32)
     batch = prn.shape
 
@@ -141,14 +170,20 @@ def init_state(
         carrier_phase=full(carrier_phase),
         code_doppler=full(0.0),
         code_phase=full(code_phase),
-        pll_filter=lf(),
+        # Seed the PLL velocity integrator with the acquisition Doppler:
+        # the loop filter's output is an absolute rate command, so an
+        # unseeded integrator would yank the NCO back toward 0 Hz on the
+        # first block and lose lock.
+        pll_filter=lf(carrier_doppler),
         dll_filter=lf(),
         cn0=cn0_mod.CN0State(
             jnp.zeros(batch + (cn0_window,), jnp.float32),
             jnp.zeros(batch + (cn0_window,), jnp.float32),
             jnp.zeros(batch, jnp.int32),
         ),
-        ms_elapsed=jnp.zeros(batch, jnp.int32),
+        ms_elapsed=jnp.broadcast_to(
+            jnp.asarray(ms_elapsed, jnp.int32), batch
+        ),
         prev_prompt_re=full(0.0),
         prev_prompt_im=full(0.0),
     )

@@ -72,6 +72,18 @@ def loop_update(
     carrier_freq = config.intermediate_frequency + state.carrier_doppler
     code_freq = config.code_frequency + state.code_doppler
 
+    # Secondary-code (overlay) wipe-off: remove the per-block +/-1 sign (e.g.
+    # L5 Neuman-Hofman) before the discriminators, so the FLL sees phase
+    # continuity and coherent post-integration is sign-clean. The index is
+    # the channel's block counter; align via init_state(ms_elapsed=...) after
+    # secondary sync (`tracking.secondary.detect_secondary_offset`).
+    if config.secondary_code:
+        sc = jnp.asarray(config.secondary_code, jnp.float32)
+        sign = sc[state.ms_elapsed % len(config.secondary_code)]
+        sign = sign.reshape(sign.shape + (1,) * (accum_re.ndim - sign.ndim))
+        accum_re = accum_re * sign
+        accum_im = accum_im * sign
+
     # Beamform (sum) over any antenna axis for the discriminators.
     if accum_re.ndim > 1:
         bf_re, bf_im = accum_re.sum(axis=-2), accum_im.sum(axis=-2)
@@ -172,6 +184,53 @@ def track(
     return jax.lax.scan(body, state, (signal_re, signal_im))
 
 
+def _bank_kernel_kwargs(config: TrackConfig) -> dict:
+    """Static kwargs for a bank-signature correlator from the config."""
+    kwargs = {"sampling_frequency": config.sampling_frequency}
+    if config.algorithm == "pallas_bank":
+        kwargs["nominal_code_frequency"] = config.code_frequency
+        kwargs["nominal_carrier_frequency"] = config.intermediate_frequency
+    if config.tile_rows is not None and config.algorithm.startswith("pallas_bank"):
+        kwargs["tile_rows"] = config.tile_rows
+    return kwargs
+
+
+def _bank_code_tile_kwargs(
+    config: TrackConfig,
+    codes: jax.Array,
+    prn: jax.Array,
+    num_samples: Optional[int] = None,
+) -> dict:
+    """Precomputed per-channel code tables for the Pallas bank kernels.
+
+    Returns ``{"code_tiles": ...}`` for ``pallas_bank`` / ``pallas_bank_onehot``
+    (empty for other algorithms), to be hoisted out of per-block scan loops.
+    """
+    from ..ops import pallas_epl
+
+    if config.algorithm == "pallas_bank":
+        tile_kwargs = (
+            {} if config.tile_rows is None else {"tile_rows": config.tile_rows}
+        )
+        return {
+            "code_tiles": pallas_epl.prepare_bank_code_tiles(
+                codes, prn,
+                code_length=config.code_length,
+                num_samples=num_samples or config.num_samples,
+                sampling_frequency=config.sampling_frequency,
+                nominal_code_frequency=config.code_frequency,
+                **tile_kwargs,
+            )
+        }
+    if config.algorithm == "pallas_bank_onehot":
+        return {
+            "code_tiles": pallas_epl.prepare_bank_code_tiles_onehot(
+                codes, prn, code_length=config.code_length
+            )
+        }
+    return {}
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
 def track_bank(
     config: TrackConfig,
@@ -196,10 +255,13 @@ def track_bank(
     """
     if config.algorithm in registry.BANK_ALGORITHMS:
         corr = registry.get(config.algorithm)
-        kwargs = {"sampling_frequency": config.sampling_frequency}
-        if config.algorithm == "pallas_bank":
-            kwargs["nominal_code_frequency"] = config.code_frequency
-            kwargs["nominal_carrier_frequency"] = config.intermediate_frequency
+        kwargs = _bank_kernel_kwargs(config)
+        # PRNs are loop constants but ride the scan carry, so the per-channel
+        # code-table gather (+tile) would otherwise rebuild every block —
+        # hoist it out of the scan once.
+        kwargs.update(
+            _bank_code_tile_kwargs(config, codes, states.prn)
+        )
 
         def body(st, sig):
             sre, sim = sig

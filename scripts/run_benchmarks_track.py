@@ -1,0 +1,35 @@
+#!/usr/bin/env python
+"""Closed-loop tracking benchmark sweep (no reference analog — the reference
+exports `run_track_benchmark` without defining it,
+`/root/reference/src/GPUAcceleratedTracking.jl:102`; its closed loops live in
+the external Tracking.jl fork and are never benchmarked on GPU).
+
+Sweep: channel-bank size K at the north-star 32.768 MHz GPS L1 scenario plus a
+moderate 4.096 MHz rate, full DLL/PLL/FLL loop closure per 1 ms block. The
+headline derived metric is ``realtime_channels``: how many satellite channels
+one chip tracks in real time. Each config saves immediately (resume-safe)
+under data/benchmarks/track/.
+"""
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+from gpuacceleratedtracking_tpu.bench import run_track_benchmark, run_sweep
+
+params = {
+    "GNSS": "GPSL1",
+    "num_samples": [4096, 32768],
+    "num_channels": [32, 256, 1024],
+    "num_ants": 1,
+    "num_correlators": 3,
+    "algorithm": ["pallas_bank", "xla_bank"],
+    "processor": ["TPU"],
+    "blocks": 8,
+    "trials": 5,
+}
+
+if __name__ == "__main__":
+    out = pathlib.Path(__file__).parent.parent / "data" / "benchmarks" / "track"
+    run_sweep(params, run_track_benchmark, out, prefix="TrackBenchmark")

@@ -12,6 +12,8 @@ import numpy as np
 import pytest
 
 from gpuacceleratedtracking_tpu.bench import (
+    autotune_tile_rows,
+    best_tile_rows,
     collect_results,
     dict_list,
     eval_results,
@@ -19,6 +21,7 @@ from gpuacceleratedtracking_tpu.bench import (
     run_reduction_benchmark,
     run_replica_benchmark,
     run_sweep,
+    run_track_benchmark,
     savename,
 )
 from gpuacceleratedtracking_tpu.ops.reduce import REDUCTIONS, get_reduction
@@ -87,6 +90,43 @@ class TestHarness:
             }
         )
         assert res["Minimum"] >= 0
+
+    def test_track_benchmark_smoke(self):
+        res = run_track_benchmark(
+            {
+                "GNSS": "GPSL1",
+                "num_samples": 2048,
+                "num_channels": 3,
+                "algorithm": "pallas_bank",
+                "processor": "CPU",
+                "blocks": 2,
+                "trials": 2,
+            }
+        )
+        assert res["Minimum"] >= 0
+        assert res["realtime_channels"] >= 0
+        assert res["algorithm"] == "pallas_bank"
+
+    def test_autotune_caches_best(self, tmp_path):
+        cache = tmp_path / "autotune.json"
+        best = autotune_tile_rows(
+            algorithm="pallas_bank",
+            num_channels=2,
+            num_samples=2048,
+            candidates=(8, 16),
+            reps=(1, 2),
+            trials=1,
+            cache_path=cache,
+        )
+        assert best in (8, 16)
+        assert (
+            best_tile_rows(
+                "pallas_bank", 2, 2048, cache_path=cache, default=999
+            )
+            == best
+        )
+        # Unseen scenario falls back to the default.
+        assert best_tile_rows("pallas_bank", 7, 4096, cache_path=cache) == 256
 
     def test_replica_benchmark_smoke(self):
         res = run_replica_benchmark(

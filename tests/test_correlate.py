@@ -198,3 +198,40 @@ class TestQuantizedReplica:
             rel_errors.append(float(jnp.mean(exact != quant)))
         assert np.mean(rel_errors) <= 0.0303, rel_errors  # paper's mean bound
         assert np.max(rel_errors) <= 0.0317, rel_errors   # paper's max bound
+
+
+class TestCoherentIntegration:
+    """Multi-millisecond coherent integration — the Tracking.jl capability of
+    extending the integration block beyond one code period. No kernel change
+    is needed: the replica wraps mod code_length, so a 2 ms block simply spans
+    two code periods and EPL doubles ([2952, 5000, 2952] for the golden
+    scenario at 2x duration)."""
+
+    @pytest.mark.parametrize("algo", ["fused_xla", "pallas_fused", "pallas_bank"])
+    def test_two_ms_block(self, algo):
+        from gpuacceleratedtracking_tpu.ops import registry
+
+        system = GPSL1()
+        signal, fs = gen_signal(system, 0, 1500.0, 5000, duration=2e-3)
+        sre, sim = soa(signal)
+        shifts = tuple(
+            int(s)
+            for s in correlator_sample_shifts(system, EPLCorrelator(3), fs)
+        )
+        corr = registry.get(algo)
+        if algo == "pallas_bank":
+            are, _ = corr(
+                sre, sim, jnp.asarray(system.codes), jnp.zeros(1, jnp.int32),
+                jnp.full(1, 1500.0), fs, jnp.zeros(1),
+                jnp.full(1, system.code_frequency), jnp.zeros(1),
+                sample_shifts=shifts, code_length=system.code_length,
+                nominal_code_frequency=system.code_frequency,
+            )
+            are = np.asarray(are)[0]
+        else:
+            are, _ = corr(
+                sre, sim, jnp.asarray(system.codes), 0, 1500.0, fs, 0.0,
+                system.code_frequency, 0.0, shifts, system.code_length,
+            )
+            are = np.asarray(are)
+        np.testing.assert_allclose(are, [2952.0, 5000.0, 2952.0], rtol=1e-4)

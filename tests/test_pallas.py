@@ -143,6 +143,52 @@ class TestBankKernel:
             np.testing.assert_allclose(np.asarray(aim)[k], np.asarray(wim),
                                        rtol=1e-3, atol=0.5)
 
+    def test_chans_per_step_batching(self):
+        # G channels per grid step (incl. K % G != 0 edge-padding) must match
+        # the unbatched kernel exactly.
+        import jax.numpy as jnp
+        from gpuacceleratedtracking_tpu.ops.pallas_epl import correlate_pallas_bank
+
+        system = GPSL1()
+        N = 2048
+        fs = N / 1e-3
+        K = 6
+        prns = np.arange(K)
+        dops = np.linspace(-2000.0, 2000.0, K)
+        mixed = sum(
+            (gen_signal(system, int(p), float(d), N)[0]
+             for p, d in zip(prns[1:], dops[1:])),
+            gen_signal(system, 0, float(dops[0]), N)[0],
+        )
+        sre, sim = soa(mixed)
+        shifts = correlator_sample_shifts(system, EPLCorrelator(3), fs)
+
+        def run(g):
+            fn = jax.jit(functools.partial(
+                correlate_pallas_bank,
+                sample_shifts=tuple(int(s) for s in shifts),
+                code_length=system.code_length, sampling_frequency=fs,
+                nominal_code_frequency=system.code_frequency,
+                chans_per_step=g,
+            ))
+            return fn(
+                sre, sim, jnp.asarray(system.codes),
+                jnp.asarray(prns, jnp.int32),
+                1500.0 + jnp.asarray(dops, jnp.float32),
+                carrier_phase=jnp.zeros(K),
+                code_frequency=jnp.full((K,), system.code_frequency, jnp.float32),
+                code_phase=jnp.zeros(K),
+            )
+
+        base_re, base_im = run(1)
+        for g in (2, 4):   # 4 exercises the K=6 -> 8 padding path
+            are, aim = run(g)
+            assert are.shape == (K, 3)
+            np.testing.assert_allclose(np.asarray(are), np.asarray(base_re),
+                                       rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(aim), np.asarray(base_im),
+                                       rtol=1e-6)
+
     def test_multi_antenna_bank(self):
         system = GPSL1()
         signal, fs = gen_signal(system, 0, 1500.0, 2500, num_ants=2)

@@ -143,11 +143,6 @@ class TestTrackBankSharded:
             np.arange(num_k), carrier_doppler=dops,
             code_phase=37.0 * np.arange(num_k) % system.code_length,
         )
-        # Acquisition handoff: seed the PLL velocity integrator with the bulk
-        # Doppler so the filter holds it (its command overwrites the state).
-        states = states._replace(
-            pll_filter=loop_filter.init(jnp.asarray(dops, jnp.float32))
-        )
         return system, config, states, sre, sim
 
     def test_matches_unsharded_bank(self):

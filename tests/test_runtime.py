@@ -117,8 +117,6 @@ class TestTrackFile:
         config = TrackConfig.for_system(system, fs, N)
         states = init_state(np.array([0, 1]),
                             carrier_doppler=np.asarray(dops))
-        states = states._replace(
-            pll_filter=loop_filter.init(jnp.asarray(dops, jnp.float32)))
         result = track_file(config, system.codes, states, path,
                             fmt="int8", scale=1.0 / 40,
                             blocks_per_dispatch=16)

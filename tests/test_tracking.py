@@ -96,13 +96,10 @@ def _make_scenario(num_ms, true_doppler, init_doppler_err, init_code_err,
     sre = sre.reshape(num_ms, num_samples)
     sim = sim.reshape(num_ms, num_samples)
     config = TrackConfig.for_system(system, fs, num_samples, **config_kwargs)
+    # init_state seeds the PLL velocity integrator with carrier_doppler
+    # (standard acquisition handoff), so no manual filter seeding is needed.
     state = init_state(prn, carrier_doppler=true_doppler + init_doppler_err,
                        code_phase=(-init_code_err) % system.code_length)
-    # Seed the PLL velocity integrator so the filter doesn't have to re-learn
-    # the bulk Doppler (standard acquisition handoff).
-    state = state._replace(
-        pll_filter=loop_filter.init(true_doppler + init_doppler_err)
-    )
     return system, config, state, sre, sim, code_freq_true
 
 
@@ -164,8 +161,6 @@ class TestClosedLoop:
         sre, sim = soa(mixed)
         sre, sim = sre.reshape(num_ms, N), sim.reshape(num_ms, N)
         states = init_state(np.arange(K), carrier_doppler=dops)
-        states = states._replace(
-            pll_filter=loop_filter.init(jnp.asarray(dops, jnp.float32)))
         outs = {}
         for algo in ["fused_xla", "pallas_bank"]:
             config = TrackConfig.for_system(system, fs, N, algorithm=algo)
@@ -200,10 +195,6 @@ class TestClosedLoop:
         config = TrackConfig.for_system(system, fs, N)
         states = init_state(np.array([0, 1]), carrier_doppler=np.array(dops),
                             code_phase=np.array([0.0, 100.0]))
-        states = states._replace(
-            pll_filter=loop_filter.LoopFilterState(
-                jnp.asarray(dops, jnp.float32), jnp.zeros(2, jnp.float32))
-        )
         final, out = track_bank(config, jnp.asarray(system.codes), states, sre, sim)
         dop = np.asarray(out.carrier_doppler)  # [num_ms, K]
         assert abs(dop[-1, 0] - dops[0]) < 3.0
