@@ -35,7 +35,7 @@ class AcquisitionResult(NamedTuple):
     prn: jnp.ndarray              # int32, 0-based (as searched)
     carrier_doppler: jnp.ndarray  # Hz, best bin
     code_phase: jnp.ndarray       # chips, in [0, code_length)
-    peak_metric: jnp.ndarray      # peak power / mean off-peak power
+    peak_metric: jnp.ndarray      # deflection: (peak - mu) / sigma off-peak
     power: jnp.ndarray            # raw peak power
 
 
@@ -52,6 +52,11 @@ def _pcps_impl(
 ):
     n = jnp.arange(num_samples, dtype=jnp.float32)
     sig = jax.lax.complex(signal_re, signal_im)
+    # Noncoherent integration: ``signal_*`` may carry a leading rounds axis
+    # [R, N]; per-round correlation powers are summed (phase-insensitive, so
+    # data-bit flips between rounds don't cancel the peak).
+    if sig.ndim == 1:
+        sig = sig[None, :]
 
     def one_bin(doppler):
         f = (intermediate_frequency + doppler) / sampling_frequency
@@ -59,9 +64,11 @@ def _pcps_impl(
         cyc = cyc - jnp.floor(cyc)
         theta = (2 * jnp.pi) * cyc
         carrier = jax.lax.complex(jnp.cos(theta), -jnp.sin(theta))
-        s_fft = jnp.fft.fft(sig * carrier)
-        corr = jnp.fft.ifft(s_fft[None, :] * jnp.conj(code_ffts))  # [K, N]
-        return jnp.abs(corr) ** 2
+        s_fft = jnp.fft.fft(sig * carrier[None, :])          # [R, N]
+        corr = jnp.fft.ifft(
+            s_fft[:, None, :] * jnp.conj(code_ffts)[None]
+        )                                                    # [R, K, N]
+        return jnp.sum(jnp.abs(corr) ** 2, axis=0)           # [K, N]
 
     # lax.map over bin batches bounds memory to [bin_batch, K, N].
     pad_bins = (num_bins + bin_batch - 1) // bin_batch * bin_batch
@@ -79,18 +86,23 @@ def _pcps_impl(
     bin_idx = idx // num_samples
     phase_idx = idx % num_samples
 
-    # Noise floor: mean power excluding +/-1 chip around the peak phase
-    # (all Doppler bins), the standard PCPS test statistic.
+    # Detection statistic: deflection coefficient (peak - mu) / sigma over
+    # the off-peak cells of the winning Doppler plane (guard of +/-1 chip
+    # around the peak). Unlike peak/mean, this captures noncoherent gain:
+    # summing R rounds shrinks the floor's relative sigma by sqrt(R).
     samples_per_chip = sampling_frequency / code_frequency
     guard = jnp.ceil(samples_per_chip).astype(jnp.int32)
     pos = jnp.arange(num_samples)[None, :]
     dist = jnp.abs(pos - phase_idx[:, None])
     dist = jnp.minimum(dist, num_samples - dist)
     mask = (dist > guard).astype(jnp.float32)           # [K, N]
-    floor = jnp.sum(
-        jnp.mean(power, axis=0) * mask, axis=1
-    ) / jnp.maximum(jnp.sum(mask, axis=1), 1)
-    metric = peak / jnp.maximum(floor, 1e-30)
+    best_plane = jnp.take_along_axis(
+        power, bin_idx[None, :, None], axis=0
+    )[0]                                                # [K, N]
+    denom = jnp.maximum(jnp.sum(mask, axis=1), 1)
+    mu = jnp.sum(best_plane * mask, axis=1) / denom
+    var = jnp.sum((best_plane - mu[:, None]) ** 2 * mask, axis=1) / denom
+    metric = (peak - mu) / jnp.maximum(jnp.sqrt(var), 1e-30)
 
     code_phase = (
         phase_idx.astype(jnp.float32) * (code_frequency / sampling_frequency)
@@ -114,13 +126,19 @@ def acquire(
     doppler_step: Optional[float] = None,
     bin_batch: int = 8,
 ) -> AcquisitionResult:
-    """Search ``prns`` (0-based) in one signal block over a Doppler grid.
+    """Search ``prns`` (0-based) in a signal block over a Doppler grid.
 
     ``signal_*``: ``[N]`` f32 planes (one antenna; beamform upstream if
-    needed). ``doppler_step`` defaults to ``2/(3 T)`` — the standard 2/3-bin
-    spacing for coherent integration time ``T = N / fs``. Returns estimates
-    aligned with ``prns``; accept a satellite when ``peak_metric`` is large
-    (noiseless signals give >> 10; a common threshold with noise is ~2.5).
+    needed), or ``[R, N]`` for R-round **noncoherent integration** — per-round
+    correlation powers are summed, so data-bit sign flips between rounds
+    don't cancel; rounds should be consecutive blocks of one code period
+    each (code phase then aligns across rounds up to Doppler drift).
+    ``doppler_step`` defaults to ``2/(3 T)`` — the standard 2/3-bin spacing
+    for coherent integration time ``T = N / fs``. Returns estimates aligned
+    with ``prns``; ``peak_metric`` is the deflection coefficient
+    ``(peak - mu)/sigma`` of the winning Doppler plane — the noise-only
+    maximum over the search grid sits near ``sqrt(2 ln(D N))`` (~5), so
+    accept at roughly > 8; noncoherent rounds raise it by ~sqrt(R).
     """
     num_samples = signal_re.shape[-1]
     t = num_samples / sampling_frequency

@@ -29,13 +29,16 @@ def track_step(
     state: TrackState,
     signal_re: jax.Array,
     signal_im: jax.Array,
+    ant_weights: Optional[tuple] = None,
 ) -> tuple[TrackState, TrackOutput]:
     """Process one integration block for one channel.
 
     ``signal_*``: ``[N]`` or ``[A, N]``. Multi-antenna blocks are correlated
-    per antenna; discriminators run on the antenna-summed accumulators (simple
-    beamforming; per-antenna accumulators are still reported, matching the
-    reference's ``accum[ant, corr]`` output).
+    per antenna; discriminators run on the beamformed accumulators
+    (``ant_weights``: optional ``(w_re, w_im)`` ``[A]`` steering weights,
+    applied as ``sum_a conj(w_a) x_a``; None = uniform sum — the Tracking.jl
+    ``beamform`` role). Per-antenna accumulators are still reported, matching
+    the reference's ``accum[ant, corr]`` output.
     """
     corr = registry.get(config.algorithm)
     carrier_freq = config.intermediate_frequency + state.carrier_doppler
@@ -54,7 +57,21 @@ def track_step(
         config.sample_shifts,
         config.code_length,
     )
-    return loop_update(config, state, accum_re, accum_im)
+    return loop_update(config, state, accum_re, accum_im, ant_weights)
+
+
+def _beamform(accum_re, accum_im, ant_weights):
+    """Steered antenna combination ``sum_a conj(w_a) x_a`` over axis -2."""
+    if accum_re.ndim == 1:
+        return accum_re, accum_im
+    if ant_weights is None:
+        return accum_re.sum(axis=-2), accum_im.sum(axis=-2)
+    w_re, w_im = ant_weights
+    w_re = jnp.asarray(w_re, jnp.float32)[..., :, None]
+    w_im = jnp.asarray(w_im, jnp.float32)[..., :, None]
+    bf_re = (w_re * accum_re + w_im * accum_im).sum(axis=-2)
+    bf_im = (w_re * accum_im - w_im * accum_re).sum(axis=-2)
+    return bf_re, bf_im
 
 
 def loop_update(
@@ -62,6 +79,7 @@ def loop_update(
     state: TrackState,
     accum_re: jax.Array,
     accum_im: jax.Array,
+    ant_weights: Optional[tuple] = None,
 ) -> tuple[TrackState, TrackOutput]:
     """Close the loop on one block's accumulators: discriminate -> filter -> NCO.
 
@@ -84,11 +102,8 @@ def loop_update(
         accum_re = accum_re * sign
         accum_im = accum_im * sign
 
-    # Beamform (sum) over any antenna axis for the discriminators.
-    if accum_re.ndim > 1:
-        bf_re, bf_im = accum_re.sum(axis=-2), accum_im.sum(axis=-2)
-    else:
-        bf_re, bf_im = accum_re, accum_im
+    # Beamform over any antenna axis for the discriminators.
+    bf_re, bf_im = _beamform(accum_re, accum_im, ant_weights)
     pidx = config.prompt_index
     prompt_re, prompt_im = bf_re[..., pidx], bf_im[..., pidx]
 
@@ -169,17 +184,19 @@ def track(
     state: TrackState,
     signal_re: jax.Array,
     signal_im: jax.Array,
+    ant_weights: Optional[tuple] = None,
 ) -> tuple[TrackState, TrackOutput]:
     """Track a multi-block signal ``[num_blocks, ..., N]`` via `lax.scan`.
 
     Returns the final state and per-block stacked outputs. The scan carries the
     full loop state on device — the TPU analog of the reference's host-driven
-    per-ms kernel relaunch, with no launch gaps.
+    per-ms kernel relaunch, with no launch gaps. ``ant_weights``: optional
+    ``(w_re, w_im)`` ``[A]`` beamforming weights (see `track_step`).
     """
 
     def body(st, sig):
         sre, sim = sig
-        return track_step(config, codes, st, sre, sim)
+        return track_step(config, codes, st, sre, sim, ant_weights)
 
     return jax.lax.scan(body, state, (signal_re, signal_im))
 
@@ -238,6 +255,7 @@ def track_bank(
     states: TrackState,
     signal_re: jax.Array,
     signal_im: jax.Array,
+    ant_weights: Optional[tuple] = None,
 ) -> tuple[TrackState, TrackOutput]:
     """Track a K-channel bank over ``[num_blocks, ..., N]`` blocks.
 
@@ -251,8 +269,30 @@ def track_bank(
     bank correlates in ONE kernel launch per block (channels ride the kernel
     grid); otherwise each channel runs the per-channel algorithm under `vmap`.
     NOTE: `vmap` of a `pallas_call` re-lowers the kernel per channel — for
-    Pallas banks always use a bank algorithm.
+    Pallas banks always use a bank algorithm. ``ant_weights``: optional
+    ``(w_re, w_im)`` of shape ``[A]`` (shared) or ``[K, A]`` (per channel)
+    beamforming weights.
     """
+    num_k = states.prn.shape[0]
+    if ant_weights is not None:
+        num_ants = signal_re.shape[-2] if signal_re.ndim == 3 else 1
+        w_re = jnp.broadcast_to(
+            jnp.asarray(ant_weights[0], jnp.float32), (num_k, num_ants)
+        )
+        w_im = jnp.broadcast_to(
+            jnp.asarray(ant_weights[1], jnp.float32), (num_k, num_ants)
+        )
+        ant_weights = (w_re, w_im)
+
+    def vmap_update(st, are, aim):
+        if ant_weights is None:
+            return jax.vmap(
+                lambda s, a, b: loop_update(config, s, a, b)
+            )(st, are, aim)
+        return jax.vmap(
+            lambda s, a, b, wr, wi: loop_update(config, s, a, b, (wr, wi))
+        )(st, are, aim, *ant_weights)
+
     if config.algorithm in registry.BANK_ALGORITHMS:
         corr = registry.get(config.algorithm)
         kwargs = _bank_kernel_kwargs(config)
@@ -276,15 +316,24 @@ def track_bank(
                 code_length=config.code_length,
                 **kwargs,
             )
-            return jax.vmap(lambda s, a_re, a_im: loop_update(config, s, a_re, a_im))(
-                st, accum_re, accum_im
-            )
+            return vmap_update(st, accum_re, accum_im)
 
         return jax.lax.scan(body, states, (signal_re, signal_im))
 
     def body(st, sig):
         sre, sim = sig
-        step = lambda s: track_step(config, codes, s, sre, sim)
-        return jax.vmap(step)(st)
+        corr = registry.get(config.algorithm)
+
+        def one(s):
+            f_car = config.intermediate_frequency + s.carrier_doppler
+            f_code = config.code_frequency + s.code_doppler
+            return corr(
+                sre, sim, codes, s.prn, f_car, config.sampling_frequency,
+                s.carrier_phase, f_code, s.code_phase, config.sample_shifts,
+                config.code_length,
+            )
+
+        accum_re, accum_im = jax.vmap(one)(st)
+        return vmap_update(st, accum_re, accum_im)
 
     return jax.lax.scan(body, states, (signal_re, signal_im))

@@ -55,6 +55,26 @@ class TestPCPS:
         assert np.all(np.abs(np.asarray(res.carrier_doppler) - dops) < 400.0)
         assert np.all(np.asarray(res.peak_metric) > 2.5)
 
+    def test_noncoherent_integration_beats_one_round(self):
+        import jax
+
+        system = GPSL1()
+        prns = np.array([5])
+        dops = np.array([950.0])
+        N, R = 2046, 8
+        sig, fs = gen_signal_mixed(
+            system, prns, dops, N * R, duration=R * 1e-3,
+            start_code_phases=np.array([300.0]),
+            noise_std=6.0, key=jax.random.key(11),
+        )
+        sre, sim = soa(sig)
+        one = acquire(system, sre[:N], sim[:N], prns, fs, max_doppler=2000.0)
+        multi = acquire(system, sre.reshape(R, N), sim.reshape(R, N), prns,
+                        fs, max_doppler=2000.0)
+        # Noncoherent rounds raise the detection metric and nail the Doppler.
+        assert float(multi.peak_metric[0]) > float(one.peak_metric[0])
+        assert abs(float(multi.carrier_doppler[0]) - 950.0) < 400.0
+
     def test_handoff_to_tracking_converges(self):
         system, prns, dops, phases, sig0, fs = _scenario()
         sre0, sim0 = soa(sig0)

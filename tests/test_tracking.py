@@ -216,3 +216,40 @@ class TestClosedLoop:
         assert out.accum_re.shape == (4, 3)
         # Beamformed prompt = 4x single antenna.
         assert float(out.prompt_re) == pytest.approx(4 * 2500, rel=1e-3)
+
+
+class TestBeamforming:
+    def test_steered_weights_recover_array_gain(self):
+        """Antenna 1 carries a 120-degree phase offset: a uniform sum loses
+        half the coherent gain (|1 + e^{i 120}| = 1), steering weights
+        conj(w) x recover the full 2x array gain — the Tracking.jl
+        `beamform` function role."""
+        import jax.numpy as jnp
+        from gpuacceleratedtracking_tpu.models import GPSL1, gen_signal, soa
+
+        system = GPSL1()
+        N, B = 2048, 4
+        theta = 2 * np.pi / 3
+        sig, fs = gen_signal(system, 0, 1000.0, N * B, duration=B * 1e-3)
+        s1 = sig * np.complex64(np.exp(1j * theta))
+        sre = jnp.stack([jnp.real(sig), jnp.real(s1)]).reshape(2, B, N)
+        sim = jnp.stack([jnp.imag(sig), jnp.imag(s1)]).reshape(2, B, N)
+        sre = sre.swapaxes(0, 1)   # [B, A, N]
+        sim = sim.swapaxes(0, 1)
+
+        config = TrackConfig.for_system(system, fs, N, algorithm="xla_bank")
+        codes = jnp.asarray(system.codes)
+
+        def run(weights):
+            states = init_state(np.zeros(1, np.int64),
+                                carrier_doppler=np.full(1, 1000.0))
+            _, out = track_bank(config, codes, states, sre, sim,
+                                ant_weights=weights)
+            return np.asarray(out.prompt_re)[0, 0], np.asarray(out.accum_re)
+
+        p_uniform, acc = run(None)
+        assert acc.shape == (B, 1, 2, 3)   # per-antenna accums still reported
+        w = (np.array([1.0, np.cos(theta)]), np.array([0.0, np.sin(theta)]))
+        p_steered, _ = run(w)
+        assert abs(p_uniform) < 1.2 * N
+        assert p_steered > 1.9 * N
