@@ -39,6 +39,10 @@ LANES = 128
 TILE_ROWS = 16          # 16 x 128 = 2048 samples per grid step
 TILE = TILE_ROWS * LANES
 _TWO_PI = 2.0 * math.pi
+# Transition-kernel chip-window cap: bounds the [tile_rows, num_c] scratch
+# tensors to fit the ~16 MB scoped-VMEM limit at any chip rate (see
+# _transition_geometry).
+MAX_WINDOW_CHIPS = 2048
 
 
 def _interpret() -> bool:
@@ -797,9 +801,15 @@ def _transition_geometry(
     per-tile chip-window width (lane-padded), and the row count of the tiled
     per-channel code table. Shared by the kernel wrapper and
     `prepare_bank_code_tiles` so hoisted tables always match.
+
+    The kernel's scratch tensors scale as ``[tile_rows, num_c]`` with
+    ``num_c ~ chips_per_sample * tile_rows * 128``, i.e. quadratically in the
+    tile — at L5's 0.31 chips/sample a 256-row tile needs a ~10k-chip window
+    and blows the 16 MB scoped-VMEM limit on real hardware. The tile is
+    therefore additionally capped so the chip window stays <= ``MAX_WINDOW_CHIPS``
+    (no-op for L1-class chip rates).
     """
     tile_rows = min(tile_rows, pl.cdiv(num_samples, LANES))
-    ext = tile_rows + 1
     if max_chips_per_sample is None:
         max_chips_per_sample = (
             float(nominal_code_frequency) / float(sampling_frequency) * 1.001
@@ -808,6 +818,9 @@ def _transition_geometry(
         )
     if max_chips_per_sample >= 1.0:
         raise ValueError("transition kernel requires < 1 chip per sample")
+    max_ext = int(MAX_WINDOW_CHIPS / (max_chips_per_sample * LANES))
+    tile_rows = max(8, min(tile_rows, (max_ext - 1) // 8 * 8))
+    ext = tile_rows + 1
     num_c = (
         (int(math.ceil(max_chips_per_sample * ext * LANES)) + 2 + LANES - 1)
         // LANES * LANES

@@ -230,6 +230,48 @@ class TestBankKernel:
                 rtol=1e-3, atol=3.0,
             )
 
+    def test_l5_m4_l7_challenge_config(self):
+        # The reference's "unsolved challenge": GPS L5, 4 antennas, 7 taps was
+        # not real-time on either of its GPUs (`paper/paper.tex:345`). The
+        # bank kernel must at least produce oracle-exact accumulators for the
+        # config (its real-time headroom is measured on hardware; RESULTS.md).
+        system = GPSL5()
+        N = 32768
+        fs = N / 1e-3
+        signal, _ = gen_signal(system, 6, -1800.0, N, num_ants=4)
+        sre, sim = soa(signal)
+        shifts = correlator_sample_shifts(system, EPLCorrelator(7), fs)
+        from gpuacceleratedtracking_tpu.ops.pallas_epl import correlate_pallas_bank
+
+        fn = jax.jit(functools.partial(
+            correlate_pallas_bank, sample_shifts=tuple(int(s) for s in shifts),
+            code_length=system.code_length, sampling_frequency=fs,
+            nominal_code_frequency=system.code_frequency,
+        ))
+        are, aim = fn(
+            sre, sim, jnp.asarray(system.codes),
+            jnp.array([6], jnp.int32),
+            jnp.full((1,), -1800.0, jnp.float32),
+            carrier_phase=jnp.zeros(1),
+            code_frequency=jnp.full((1,), system.code_frequency, jnp.float32),
+            code_phase=jnp.zeros(1),
+        )
+        assert are.shape == (1, 4, 7)
+        oracle = registry.get("fused_xla")
+        wre, wim = oracle(
+            sre, sim, jnp.asarray(system.codes), 6, -1800.0, fs, 0.0,
+            system.code_frequency, 0.0,
+            tuple(int(s) for s in shifts), system.code_length,
+        )
+        # f32 chip-phase rounding at L5's 10.23 Mchip/s misplaces a few chip
+        # boundaries by one sample (<= 0.02% of N here) — the same error class
+        # as the reference's texture path, whose envelope is mean 0.03% /
+        # max 3.17% (`paper/paper.tex:326-329`).
+        np.testing.assert_allclose(np.asarray(are)[0], np.asarray(wre),
+                                   rtol=2e-3, atol=8.0)
+        np.testing.assert_allclose(np.asarray(aim)[0], np.asarray(wim),
+                                   rtol=2e-3, atol=8.0)
+
     def test_xla_bank_matches(self):
         system = GPSL1()
         N = 4096
