@@ -99,19 +99,48 @@ def run_kernel_benchmark(config: dict) -> dict:
         sample_shifts=shifts,
         code_length=system.code_length,
     )
+    is_bank = algorithm in registry.BANK_ALGORITHMS
+    if algorithm == "pallas_bank":
+        corr = functools.partial(
+            corr, sampling_frequency=fs,
+            nominal_code_frequency=system.code_frequency,
+        )
 
     # reps are unrolled inside one jitted call (a lax.scan wrapper crashes
     # the current libtpu compiler on these kernels) and timed differentially
     # so the fixed per-dispatch cost cancels (see benchmark_differential).
     def make_fn(r):
+        if is_bank:
+            # Bank-signature algorithms take [K] channel-parameter arrays and
+            # a shared front-end signal; benchmark them at K=1 so the kernel
+            # sweep covers every registry algorithm on equal terms.
+            prn1 = jax.device_put(jnp.zeros((1,), jnp.int32), device)
+            fcar1 = jax.device_put(jnp.full((1,), 1500.0, jnp.float32), device)
+            fcode1 = jax.device_put(
+                jnp.full((1,), system.code_frequency, jnp.float32), device
+            )
+
+            def call(off):
+                if algorithm == "pallas_bank":
+                    # sampling_frequency already bound as a static kwarg
+                    return corr(
+                        sre, sim, codes, prn1, fcar1, carrier_phase=off[None],
+                        code_frequency=fcode1, code_phase=off[None],
+                    )
+                return corr(sre, sim, codes, prn1, fcar1, fs, off[None],
+                            fcode1, off[None])
+        else:
+            def call(off):
+                return corr(
+                    sre, sim, codes, 0, 1500.0, fs, off,
+                    system.code_frequency, off,
+                )
+
         @jax.jit
         def run(offs):
             total = jnp.float32(0.0)
             for i in range(r):
-                are, aim = corr(
-                    sre, sim, codes, 0, 1500.0, fs, offs[i],
-                    system.code_frequency, offs[i],
-                )
+                are, aim = call(offs[i])
                 total = total + are.sum() + aim.sum()
             return total
 

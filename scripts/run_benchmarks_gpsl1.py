@@ -20,9 +20,17 @@ params = {
     "num_ants": [1, 4],
     "num_correlators": [3, 7],
     "algorithm": registry.names(),
-    "processor": ["TPU", "CPU"],
+    "processor": "TPU",
+    "reps": 8,
+    "trials": 5,
 }
+
+# The CPU (XLA-CPU) baseline plays the reference's LoopVectorization SIMD
+# role (`/root/reference/src/benchmarks.jl:35-80`) — XLA paths only (Pallas
+# interpret mode is a correctness tool, not a CPU performance path).
+cpu_params = dict(params, processor="CPU", algorithm=["fused_xla", "unfused_xla"])
 
 if __name__ == "__main__":
     out = pathlib.Path(__file__).parent.parent / "data" / "benchmarks" / "kernel"
     run_sweep(params, run_kernel_benchmark, out, prefix="KernelBenchmark")
+    run_sweep(cpu_params, run_kernel_benchmark, out, prefix="KernelBenchmark")

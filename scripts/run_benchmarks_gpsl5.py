@@ -18,9 +18,14 @@ params = {
     "num_ants": [1, 4],
     "num_correlators": [3, 7],
     "algorithm": registry.names(),
-    "processor": ["TPU", "CPU"],
+    "processor": "TPU",
+    "reps": 8,
+    "trials": 5,
 }
+
+cpu_params = dict(params, processor="CPU", algorithm=["fused_xla", "unfused_xla"])
 
 if __name__ == "__main__":
     out = pathlib.Path(__file__).parent.parent / "data" / "benchmarks" / "kernel"
     run_sweep(params, run_kernel_benchmark, out, prefix="KernelBenchmark")
+    run_sweep(cpu_params, run_kernel_benchmark, out, prefix="KernelBenchmark")
