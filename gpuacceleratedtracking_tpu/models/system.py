@@ -15,7 +15,7 @@ import functools
 
 import numpy as np
 
-from . import gpsl1, gpsl5
+from . import glonass_l1, gpsl1, gpsl5
 
 
 @dataclasses.dataclass(frozen=True)
@@ -71,10 +71,28 @@ def GPSL5(quadrature: bool = False, with_secondary: bool = True) -> GNSSSystem:
     )
 
 
+@functools.lru_cache(maxsize=None)
+def GLONASSL1() -> GNSSSystem:
+    """GLONASS L1OF: FDMA, shared 511-chip m-sequence, 1 ms period.
+
+    The ``prn`` column index is the FDMA frequency-channel slot (``k + 7`` for
+    channel ``k``); use `glonass_l1.carrier_frequency(k)` for the per-channel
+    carrier. Columns are identical — satellite separation is in frequency.
+    """
+    return GNSSSystem(
+        name="GLONASSL1",
+        codes=glonass_l1.code_table(),
+        code_frequency=glonass_l1.CODE_FREQUENCY,
+        center_frequency=glonass_l1.CENTER_FREQUENCY,
+        code_length=glonass_l1.CODE_LENGTH,
+    )
+
+
 # Name -> constructor registry (equivalent of the reference's GNSSDICT).
 GNSS_REGISTRY = {
     "GPSL1": GPSL1,
     "GPSL5": GPSL5,
+    "GLONASSL1": GLONASSL1,
 }
 
 
