@@ -582,11 +582,11 @@ def correlate_pallas_bank_onehot(
 
 
 def _bank_transition_kernel(
-    params_ref, base_ref, sre_ref, sim_ref, codecol_ref,
-    outre_ref, outim_ref,
-    *, deltas: tuple, code_length: int, tile_rows: int, num_c: int,
+    params_ref, base_ref, *refs,
+    deltas: tuple, code_length: int, tile_rows: int, num_c: int,
     rho_nom: float, fcar_nom_cyc: float, chans_per_step: int = 1,
-    mm_dtype=jnp.bfloat16, tap_mac: str = "mxu",
+    mm_dtype=jnp.bfloat16, tap_mac: str = "mxu", carrier: str = "hoisted",
+    recon: str = "onehot",
 ):
     """One (channel, tile) step of the transition-formulation bank correlator.
 
@@ -610,6 +610,13 @@ def _bank_transition_kernel(
 
     Everything per-sample that remains is the carrier wipe-off and tap MAC.
     """
+    if carrier == "hoisted":
+        (rowcos_ref, rowsin_ref, lanecos_ref, lanesin_ref,
+         sre_ref, sim_ref, codecol_ref, outre_ref, outim_ref) = refs
+        phasors = (rowcos_ref, rowsin_ref, lanecos_ref, lanesin_ref)
+    else:
+        sre_ref, sim_ref, codecol_ref, outre_ref, outim_ref = refs
+        phasors = None
     k = pl.program_id(0)
     i = pl.program_id(1)
     tile = tile_rows * LANES
@@ -639,7 +646,7 @@ def _bank_transition_kernel(
             tile_rows=tile_rows, num_c=num_c, rho_nom=rho_nom,
             fcar_nom_cyc=fcar_nom_cyc, num_ants=num_ants, ext=ext,
             num_e=num_e, cr=cr, tile=tile, lc=lc, mm_dtype=mm_dtype,
-            tap_mac=tap_mac,
+            tap_mac=tap_mac, phasors=phasors, recon=recon,
         )
 
 
@@ -647,7 +654,7 @@ def _transition_channel(
     params_ref, base_ref, sre, sim, codecol_ref, outre_ref, outim_ref,
     ch, g, i, *, deltas, code_length, tile_rows, num_c, rho_nom,
     fcar_nom_cyc, num_ants, ext, num_e, cr, tile, lc, mm_dtype=jnp.bfloat16,
-    tap_mac="mxu",
+    tap_mac="mxu", phasors=None, recon="onehot",
 ):
     f_cyc = params_ref[ch, 0]
     phi_cyc = params_ref[ch, 1]
@@ -729,29 +736,89 @@ def _transition_channel(
         t = jnp.clip(t, 0.0, jnp.float32(num_e * LANES)).astype(jnp.int32)
         return jax.lax.div(t, LANES), jax.lax.rem(t, LANES)
 
-    rt_lane, _ = bounds(jax.lax.broadcasted_iota(jnp.int32, (1, num_c), 1))
-    _, lt_col = bounds(jax.lax.broadcasted_iota(jnp.int32, (num_c, 1), 0))
+    if recon == "onehot":
+        # 4. Reconstruct the replica with NO [*, 1]-layout index math and no
+        # duplicated [E, C] masks: boundaries live only in [1, C] lane layout
+        # (9 vregs at C~1152, vs 144 near-empty ones for a [C, 1] column),
+        # scattered to rows/lanes by one-hot matmuls on the MXU:
+        #   G[m, m2] = sum_c delta_c (rt_c == m)(lt_c == m2)   [ME, 128]
+        #   rep[e, l] = sum_m (e > m) W[m]  +  (G @ U)[e, l]
+        # with W[m] = sum_c delta_c (rt_c == m) and U[m2, l] = (l >= m2).
+        # All operands are exact small integers in bf16 (delta in {-2,0,2},
+        # masks 0/1, per-row delta sums bounded by 2*128).
+        rt_lane, lt_lane = bounds(
+            jax.lax.broadcasted_iota(jnp.int32, (1, num_c), 1)
+        )                                                       # [1, C] each
+        num_m = num_e + 8                                       # rt in 0..num_e
+        ohrt = (
+            jax.lax.broadcasted_iota(jnp.int32, (num_m, num_c), 0) == rt_lane
+        )
+        a_mm = (ohrt * delta_lane).astype(mm_dtype)             # [ME, C]
+        # One-hot lt rows 0..127 + a ones row at 128 (W = per-row delta sums
+        # rides the same matmul; a separate [ME,1] bf16 matvec trips the
+        # Mosaic vector.broadcast verification bug).
+        mb = jax.lax.broadcasted_iota(jnp.int32, (LANES + 8, num_c), 0)
+        b_mat = ((mb == lt_lane) | (mb == LANES)).astype(mm_dtype)
+        gw = jax.lax.dot_general(
+            a_mm, b_mat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                       # [ME, 136]
+        u_mat = (
+            jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+            >= jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+        ).astype(mm_dtype)                                      # [m2, l]
+        h_mat = jax.lax.dot_general(
+            gw[:, :LANES].astype(mm_dtype), u_mat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                       # [ME, 128]
+        vg = (
+            jax.lax.broadcasted_iota(jnp.int32, (num_e, num_m), 0)
+            > jax.lax.broadcasted_iota(jnp.int32, (num_e, num_m), 1)
+        ).astype(mm_dtype)                                      # [E, ME]
+        # W (+7 zero columns) -> 8-wide matmul, column 0 (matvec bug again).
+        g_rows = jax.lax.dot_general(
+            vg, gw[:, LANES:].astype(mm_dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[:, :1]                                                # [E, 1]
+        rep = (g_rows + h_mat[:num_e])[:ext]                    # [ext, 128]
+    else:
+        # Mask variant (audit / A-B baseline): [E, C] compare masks + a
+        # [C, 1]-layout boundary pass.
+        rt_lane, _ = bounds(jax.lax.broadcasted_iota(jnp.int32, (1, num_c), 1))
+        _, lt_col = bounds(jax.lax.broadcasted_iota(jnp.int32, (num_c, 1), 0))
 
-    # 4. Reconstruct the replica: one [E, C] x [C, 128] MXU matmul + rowsum.
-    r_sub = jax.lax.broadcasted_iota(jnp.int32, (num_e, 1), 0)
-    ge = (r_sub > rt_lane).astype(jnp.float32)                  # [E, C]
-    eq = (r_sub == rt_lane).astype(jnp.float32)
-    # NOTE: an MXU matvec ([E,C] x [1,C] contract C, bf16) for g_rows hits a
-    # Mosaic verification bug (vector.broadcast bf16->f32); VPU mult+reduce.
-    g_rows = jnp.sum(ge * delta_lane, axis=1, keepdims=True)    # [E, 1]
-    me = eq * delta_lane                                        # [E, C]
-    l_lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    lstep = (l_lane >= lt_col).astype(mm_dtype)             # [C, 128]
-    h = jax.lax.dot_general(
-        me.astype(mm_dtype), lstep, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                           # [E, 128]
-    rep = (g_rows + h)[:ext]                                    # [ext, 128]
+        r_sub = jax.lax.broadcasted_iota(jnp.int32, (num_e, 1), 0)
+        ge = (r_sub > rt_lane).astype(jnp.float32)              # [E, C]
+        eq = (r_sub == rt_lane).astype(jnp.float32)
+        # NOTE: an MXU matvec ([E,C] x [1,C] contract C, bf16) for g_rows hits
+        # a Mosaic verification bug (vector.broadcast bf16->f32); VPU mult+red.
+        g_rows = jnp.sum(ge * delta_lane, axis=1, keepdims=True)  # [E, 1]
+        me = eq * delta_lane                                    # [E, C]
+        l_lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        lstep = (l_lane >= lt_col).astype(mm_dtype)             # [C, 128]
+        h = jax.lax.dot_general(
+            me.astype(mm_dtype), lstep, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                       # [E, 128]
+        rep = (g_rows + h)[:ext]                                # [ext, 128]
 
     # Carrier wipe-off + tap MAC (the per-sample floor of the pipeline).
-    cos, sin = _carrier_tile(
-        jnp.int32(0), tile_rows, f_cyc, phi_car_tile, tile=tile
-    )
+    if phasors is not None:
+        # Hoisted carrier: the per-channel row/lane phasors were computed by
+        # XLA over ALL channels at full (8,128) layout; the in-kernel cost is
+        # just the 6-op complex outer product. In-kernel cos/sin on a
+        # [tile_rows, 1] vector wastes 127/128 lanes of every transcendental.
+        rowcos_ref, rowsin_ref, lanecos_ref, lanesin_ref = phasors
+        rc = rowcos_ref[g, 0]                                   # [TR, 1]
+        rs = rowsin_ref[g, 0]
+        lcos = lanecos_ref[g, 0:1, :]                           # [1, 128]
+        lsin = lanesin_ref[g, 0:1, :]
+        cos = rc * lcos - rs * lsin
+        sin = rs * lcos + rc * lsin
+    else:
+        cos, sin = _carrier_tile(
+            jnp.int32(0), tile_rows, f_cyc, phi_car_tile, tile=tile
+        )
     dw_re = sre * cos + sim * sin
     dw_im = sim * cos - sre * sin
 
@@ -877,6 +944,8 @@ def correlate_pallas_bank(
     chans_per_step: int = 1,
     matmul_dtype=jnp.bfloat16,
     tap_mac: str = "mxu",
+    carrier: str = "hoisted",
+    recon: str = "onehot",
 ) -> tuple[jax.Array, jax.Array]:
     """Transition-formulation fused EPL bank correlator (flagship kernel).
 
@@ -969,6 +1038,51 @@ def correlate_pallas_bank(
         params = jnp.pad(params, pad + ((0, 0),), mode="edge")
         codecol = jnp.pad(codecol, pad + ((0, 0), (0, 0)), mode="edge")
 
+    extra_inputs = []
+    extra_specs = []
+    if carrier == "hoisted":
+        # Row/lane carrier phasors for every (channel, tile), computed by XLA
+        # at full vector-lane utilization and DMA'd per grid step (~1 KB).
+        # Same f32 phase decomposition as the in-kernel path: f64-exact
+        # nominal base per tile + small residual.
+        f_cyc_k = params[:, 0]                                   # [Kp]
+        phi_cyc_k = params[:, 1]
+        n0_t = jnp.arange(num_tiles, dtype=jnp.float32) * jnp.float32(tile)
+        phi_tile = (
+            phi_cyc_k[:, None]
+            + base[None, :, 0]
+            + (f_cyc_k - jnp.float32(fcar_nom_cyc))[:, None] * n0_t[None, :]
+        )                                                        # [Kp, tiles]
+        row = jnp.arange(tile_rows, dtype=jnp.float32) * jnp.float32(LANES)
+        cyc_row = (
+            f_cyc_k[:, None, None] * row[None, None, :]
+            + phi_tile[:, :, None]
+        )
+        cyc_row = cyc_row - jnp.floor(cyc_row)
+        theta_row = jnp.float32(_TWO_PI) * cyc_row               # [Kp,T,R]
+        lane = jnp.arange(LANES, dtype=jnp.float32)
+        cyc_lane = f_cyc_k[:, None] * lane[None, :]
+        theta_lane = jnp.float32(_TWO_PI) * (cyc_lane - jnp.floor(cyc_lane))
+        # Lane blocks are padded to 8 sublanes (hardware lowering requires the
+        # sublane block dim divisible by 8); row 0 carries the phasor.
+        lane_pad = (
+            lambda x: jnp.broadcast_to(x[:, None, :], (x.shape[0], 8, LANES))
+        )
+        extra_inputs = [
+            jnp.cos(theta_row)[..., None],                       # [Kp,T,R,1]
+            jnp.sin(theta_row)[..., None],
+            lane_pad(jnp.cos(theta_lane)),                       # [Kp,8,128]
+            lane_pad(jnp.sin(theta_lane)),
+        ]
+        row_spec = pl.BlockSpec(
+            (g, 1, tile_rows, 1), lambda k, i: (k, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        lane_spec = pl.BlockSpec(
+            (g, 8, LANES), lambda k, i: (k, 0, 0), memory_space=pltpu.VMEM
+        )
+        extra_specs = [row_spec, row_spec, lane_spec, lane_spec]
+
     grid_spec = pl.GridSpec(
         grid=(num_kp // g, num_tiles),
         in_specs=[
@@ -976,6 +1090,7 @@ def correlate_pallas_bank(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((num_tiles, 2), lambda k, i: (0, 0),
                          memory_space=pltpu.SMEM),
+            *extra_specs,
             pl.BlockSpec((num_ants, tile_rows, LANES), lambda k, i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((num_ants, tile_rows, LANES), lambda k, i: (0, i, 0),
@@ -999,14 +1114,14 @@ def correlate_pallas_bank(
         deltas=deltas, code_length=int(code_length),
         tile_rows=int(tile_rows), num_c=int(num_c),
         rho_nom=rho_nom, fcar_nom_cyc=fcar_nom_cyc, chans_per_step=g,
-        mm_dtype=matmul_dtype, tap_mac=tap_mac,
+        mm_dtype=matmul_dtype, tap_mac=tap_mac, carrier=carrier, recon=recon,
     )
     acc_re, acc_im = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=_interpret(),
-    )(params, base, sre, sim, codecol)
+    )(params, base, *extra_inputs, sre, sim, codecol)
     acc_re, acc_im = acc_re[:num_k], acc_im[:num_k]
     if squeeze:
         acc_re, acc_im = acc_re[:, 0], acc_im[:, 0]

@@ -189,6 +189,56 @@ class TestBankKernel:
             np.testing.assert_allclose(np.asarray(aim), np.asarray(base_im),
                                        rtol=1e-6)
 
+    def test_recon_and_carrier_variants_exact(self):
+        # The one-hot-matmul replica reconstruction must be BIT-exact against
+        # the mask formulation (same step functions, different scatter), and
+        # the hoisted-phasor carrier must match the in-kernel NCO (identical
+        # f32 phase decomposition; on the CPU backend both use XLA cos/sin).
+        import jax.numpy as jnp
+        from gpuacceleratedtracking_tpu.ops.pallas_epl import correlate_pallas_bank
+
+        system = GPSL1()
+        N = 4096
+        fs = N / 1e-3
+        K = 5
+        prns = np.arange(K)
+        dops = np.linspace(-4000.0, 4000.0, K)
+        signal, _ = gen_signal(system, 0, 1500.0, N)
+        sre, sim = soa(signal)
+        shifts = correlator_sample_shifts(system, EPLCorrelator(3), fs)
+
+        def run(carrier, recon):
+            fn = jax.jit(functools.partial(
+                correlate_pallas_bank,
+                sample_shifts=tuple(int(s) for s in shifts),
+                code_length=system.code_length, sampling_frequency=fs,
+                nominal_code_frequency=system.code_frequency,
+                carrier=carrier, recon=recon, tile_rows=16,
+            ))
+            are, aim = fn(
+                sre, sim, jnp.asarray(system.codes),
+                jnp.asarray(prns, jnp.int32),
+                1500.0 + jnp.asarray(dops, jnp.float32),
+                carrier_phase=jnp.linspace(0.0, 3.0, K).astype(jnp.float32),
+                code_frequency=jnp.full((K,), system.code_frequency, jnp.float32),
+                code_phase=jnp.linspace(0.0, 900.0, K).astype(jnp.float32),
+            )
+            return np.asarray(are), np.asarray(aim)
+
+        for carrier in ("inkernel", "hoisted"):
+            # Same carrier, different reconstruction: bit-exact.
+            ref = run(carrier, "mask")
+            got = run(carrier, "onehot")
+            np.testing.assert_array_equal(got[0], ref[0], err_msg=carrier)
+            np.testing.assert_array_equal(got[1], ref[1], err_msg=carrier)
+        # Across carrier variants the cos/sin *implementations* differ by
+        # <= 1 ulp (XLA full-tile vs in-kernel vectorization; Mosaic on real
+        # TPU): accumulators agree to ~sqrt(N) ulp, not bitwise.
+        ref = run("inkernel", "mask")
+        got = run("hoisted", "onehot")
+        np.testing.assert_allclose(got[0], ref[0], atol=2e-3)
+        np.testing.assert_allclose(got[1], ref[1], atol=2e-3)
+
     def test_multi_antenna_bank(self):
         system = GPSL1()
         signal, fs = gen_signal(system, 0, 1500.0, 2500, num_ants=2)
