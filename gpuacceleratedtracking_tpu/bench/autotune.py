@@ -112,7 +112,7 @@ def autotune_tile_rows(
             tile_rows=tile_rows,
             **(
                 {"nominal_code_frequency": system.code_frequency}
-                if algorithm == "pallas_bank"
+                if algorithm in ("pallas_bank", "pallas_bank_rows")
                 else {}
             ),
         )

@@ -27,6 +27,7 @@ import functools
 import math
 from typing import Sequence
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -854,6 +855,62 @@ def _transition_channel(
         outim_ref[g, :, l : l + 1] += s_im
 
 
+def _hoisted_carrier(
+    params: jax.Array,
+    base: jax.Array,
+    num_tiles: int,
+    tile_rows: int,
+    fcar_nom_cyc: float,
+    g: int,
+) -> tuple[list, list]:
+    """Hoisted per-(channel, tile) carrier phasors + their block specs.
+
+    Row/lane carrier phasors for every (channel, tile), computed by XLA at
+    full vector-lane utilization and DMA'd per grid step (~1 KB). Same f32
+    phase decomposition as the in-kernel path: f64-exact nominal base per tile
+    + small residual. In-kernel cos/sin on a ``[tile_rows, 1]`` vector would
+    waste 127/128 lanes of every transcendental.
+    """
+    tile = tile_rows * LANES
+    f_cyc_k = params[:, 0]                                   # [Kp]
+    phi_cyc_k = params[:, 1]
+    n0_t = jnp.arange(num_tiles, dtype=jnp.float32) * jnp.float32(tile)
+    phi_tile = (
+        phi_cyc_k[:, None]
+        + base[None, :, 0]
+        + (f_cyc_k - jnp.float32(fcar_nom_cyc))[:, None] * n0_t[None, :]
+    )                                                        # [Kp, tiles]
+    row = jnp.arange(tile_rows, dtype=jnp.float32) * jnp.float32(LANES)
+    cyc_row = (
+        f_cyc_k[:, None, None] * row[None, None, :]
+        + phi_tile[:, :, None]
+    )
+    cyc_row = cyc_row - jnp.floor(cyc_row)
+    theta_row = jnp.float32(_TWO_PI) * cyc_row               # [Kp,T,R]
+    lane = jnp.arange(LANES, dtype=jnp.float32)
+    cyc_lane = f_cyc_k[:, None] * lane[None, :]
+    theta_lane = jnp.float32(_TWO_PI) * (cyc_lane - jnp.floor(cyc_lane))
+    # Lane blocks are padded to 8 sublanes (hardware lowering requires the
+    # sublane block dim divisible by 8); row 0 carries the phasor.
+    lane_pad = (
+        lambda x: jnp.broadcast_to(x[:, None, :], (x.shape[0], 8, LANES))
+    )
+    extra_inputs = [
+        jnp.cos(theta_row)[..., None],                       # [Kp,T,R,1]
+        jnp.sin(theta_row)[..., None],
+        lane_pad(jnp.cos(theta_lane)),                       # [Kp,8,128]
+        lane_pad(jnp.sin(theta_lane)),
+    ]
+    row_spec = pl.BlockSpec(
+        (g, 1, tile_rows, 1), lambda k, i: (k, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    lane_spec = pl.BlockSpec(
+        (g, 8, LANES), lambda k, i: (k, 0, 0), memory_space=pltpu.VMEM
+    )
+    return extra_inputs, [row_spec, row_spec, lane_spec, lane_spec]
+
+
 def _transition_geometry(
     num_samples: int,
     tile_rows: int,
@@ -1041,47 +1098,9 @@ def correlate_pallas_bank(
     extra_inputs = []
     extra_specs = []
     if carrier == "hoisted":
-        # Row/lane carrier phasors for every (channel, tile), computed by XLA
-        # at full vector-lane utilization and DMA'd per grid step (~1 KB).
-        # Same f32 phase decomposition as the in-kernel path: f64-exact
-        # nominal base per tile + small residual.
-        f_cyc_k = params[:, 0]                                   # [Kp]
-        phi_cyc_k = params[:, 1]
-        n0_t = jnp.arange(num_tiles, dtype=jnp.float32) * jnp.float32(tile)
-        phi_tile = (
-            phi_cyc_k[:, None]
-            + base[None, :, 0]
-            + (f_cyc_k - jnp.float32(fcar_nom_cyc))[:, None] * n0_t[None, :]
-        )                                                        # [Kp, tiles]
-        row = jnp.arange(tile_rows, dtype=jnp.float32) * jnp.float32(LANES)
-        cyc_row = (
-            f_cyc_k[:, None, None] * row[None, None, :]
-            + phi_tile[:, :, None]
+        extra_inputs, extra_specs = _hoisted_carrier(
+            params, base, num_tiles, tile_rows, fcar_nom_cyc, g
         )
-        cyc_row = cyc_row - jnp.floor(cyc_row)
-        theta_row = jnp.float32(_TWO_PI) * cyc_row               # [Kp,T,R]
-        lane = jnp.arange(LANES, dtype=jnp.float32)
-        cyc_lane = f_cyc_k[:, None] * lane[None, :]
-        theta_lane = jnp.float32(_TWO_PI) * (cyc_lane - jnp.floor(cyc_lane))
-        # Lane blocks are padded to 8 sublanes (hardware lowering requires the
-        # sublane block dim divisible by 8); row 0 carries the phasor.
-        lane_pad = (
-            lambda x: jnp.broadcast_to(x[:, None, :], (x.shape[0], 8, LANES))
-        )
-        extra_inputs = [
-            jnp.cos(theta_row)[..., None],                       # [Kp,T,R,1]
-            jnp.sin(theta_row)[..., None],
-            lane_pad(jnp.cos(theta_lane)),                       # [Kp,8,128]
-            lane_pad(jnp.sin(theta_lane)),
-        ]
-        row_spec = pl.BlockSpec(
-            (g, 1, tile_rows, 1), lambda k, i: (k, i, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-        lane_spec = pl.BlockSpec(
-            (g, 8, LANES), lambda k, i: (k, 0, 0), memory_space=pltpu.VMEM
-        )
-        extra_specs = [row_spec, row_spec, lane_spec, lane_spec]
 
     grid_spec = pl.GridSpec(
         grid=(num_kp // g, num_tiles),
@@ -1128,7 +1147,483 @@ def correlate_pallas_bank(
     return acc_re, acc_im
 
 
+# ---------------------------------------------------------------------------
+# Kernel E: per-row boundary bank — per-ROW gather + J boundary MACs
+# ---------------------------------------------------------------------------
+
+
+def _rows_geometry(
+    num_samples: int,
+    tile_rows: int,
+    sampling_frequency: float,
+    code_length: int,
+    nominal_code_frequency: float | None,
+    max_chips_per_sample: float | None,
+) -> tuple[int, int, int]:
+    """Static geometry of the per-row bank kernel: ``(tile_rows, num_j, crt)``.
+
+    ``num_j`` = max distinct chips one 128-sample row can touch (+1 safety);
+    ``crt`` = rows of the tiled per-channel code table, provisioned so every
+    flat read ``code[c + j]`` for any in-tile chip ``c`` stays in valid rows
+    (the last table row is `_flat_shift` halo garbage and is never selected).
+    """
+    tile_rows = min(tile_rows, pl.cdiv(num_samples, LANES))
+    tile_rows = max(8, tile_rows // 8 * 8)
+    if max_chips_per_sample is None:
+        max_chips_per_sample = (
+            float(nominal_code_frequency) / float(sampling_frequency) * 1.001
+            if nominal_code_frequency is not None
+            else 0.65
+        )
+    if max_chips_per_sample >= 1.0:
+        raise ValueError("rows kernel requires < 1 chip per sample")
+    # Distinct chips a 128-sample row can touch: floor(127*rho) + 2 (partial
+    # chips at both ends); num_j = that count (boundary MACs run j=1..num_j-1).
+    num_j = int(math.floor(max_chips_per_sample * (LANES - 1))) + 2
+    e8 = (tile_rows + 1 + 7) // 8 * 8
+    chips_max = int(math.ceil(max_chips_per_sample * e8 * LANES)) + 2
+    crt = (code_length - 1 + chips_max + num_j + 2 * LANES) // LANES + 1
+    if num_j > 24:
+        raise ValueError(
+            f"rows kernel needs num_j={num_j} chips/row; use pallas_bank for"
+            " chip rates above ~0.17 chips/sample"
+        )
+    return tile_rows, num_j, crt
+
+
+def prepare_bank_code_tiles_rows(
+    codes: jax.Array,
+    prn: jax.Array,
+    *,
+    code_length: int,
+    num_samples: int,
+    sampling_frequency: float,
+    tile_rows: int = 256,
+    nominal_code_frequency: float | None = None,
+    max_chips_per_sample: float | None = None,
+) -> jax.Array:
+    """Per-channel tiled code tables ``[K, crt, 128]`` for the rows kernel.
+
+    Hoist out of `lax.scan` tracking loops like `prepare_bank_code_tiles`.
+    """
+    _, _, crt = _rows_geometry(
+        num_samples, tile_rows, float(sampling_frequency), code_length,
+        nominal_code_frequency, max_chips_per_sample,
+    )
+    code_cols = jnp.take(codes.T, jnp.asarray(prn), axis=0)       # [K, Lc]
+    reps_needed = math.ceil(crt * LANES / code_length)
+    codecol = jnp.tile(code_cols, (1, reps_needed))[:, : crt * LANES]
+    return codecol.reshape(prn.shape[0], crt, LANES)
+
+
+def _bank_rows_kernel(
+    params_ref, base_ref, rowcos_ref, rowsin_ref, lanecos_ref, lanesin_ref,
+    sre_ref, sim_ref, codecol_ref, outre_ref, outim_ref,
+    *, deltas: tuple, code_length: int, tile_rows: int, crt: int, num_j: int,
+    rho_nom: float, chans_per_step: int, mm_dtype=jnp.bfloat16,
+    tap_mac: str = "sum2d", ablate: str = "none",
+):
+    """One (channel-group, tile) step of the per-row boundary bank correlator.
+
+    The transition kernel (`_bank_transition_kernel`) scatters per-CHIP deltas
+    over the whole tile with ``[E, C]``-sized one-hot matmuls (~47 MMAC per
+    1024-chip tile). This kernel exploits that one 128-lane ROW spans only
+    ``~128 * rho`` chips (4 at GPS L1 / 32.768 MHz): per row it gathers the
+    ``num_j`` consecutive chip values starting at the row's first chip
+    ``c_r = floor(rho * 128 r + phi)`` with ONE small one-hot MXU matmul
+    (``[E8, 128] x [J*CRT, 128]^T``, ~4.6 MMAC), then reconstructs
+
+        rep[r, l] = V[r, 0] + sum_j (V[r, j] - V[r, j-1]) * (l >= l_j[r])
+
+    with ``J-1`` boundary MACs on the VPU, where ``l_j = ceil((c_r + j -
+    phi)/rho) - 128 r`` is the in-row sample where chip ``c_r + j`` begins —
+    the same exact ceil/floor arithmetic as the transition kernel (itself the
+    TPU re-derivation of the reference's texture wrap + nearest-neighbour
+    fetch, `/root/reference/src/algorithms.jl:72`). Carrier wipe-off and the
+    tap MAC (one MXU contraction ``[A, T] x [L, T]``) are unchanged.
+    """
+    k = pl.program_id(0)
+    i = pl.program_id(1)
+    tile = tile_rows * LANES
+    ext = tile_rows + 1
+    e8 = (ext + 7) // 8 * 8
+    lc = jnp.float32(code_length)
+
+    @pl.when(i == 0)
+    def _():
+        outre_ref[...] = jnp.zeros_like(outre_ref)
+        outim_ref[...] = jnp.zeros_like(outim_ref)
+
+    sre = sre_ref[...]
+    sim = sim_ref[...]
+    num_ants = sre.shape[0]
+
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (e8, LANES), 1)
+    lane_f = lane_i.astype(jnp.float32)
+    n_row = (
+        jax.lax.broadcasted_iota(jnp.int32, (e8, 1), 0).astype(jnp.float32)
+        * jnp.float32(LANES)
+    )                                             # [e8, 1] lane-0 sample index
+    qio = jax.lax.broadcasted_iota(jnp.int32, (e8, crt), 1)
+    num_g = chans_per_step
+    n0 = (i * tile).astype(jnp.float32)
+
+    # --- per-row chip indices + boundaries, ALL group channels at once ---
+    # The naive per-channel formulation does ~10 vector ops per boundary on
+    # [e8, 1]-shaped columns — 1/128 lane utilization, measured as the
+    # dominant kernel cost. Here the per-channel scalars ride the scalar
+    # unit, and all row/boundary vectors are lane-packed: [e8, G] chip
+    # indices and [e8, (J-1)*G] boundaries (j-major blocks), so the vector
+    # cost is amortized over the whole channel group.
+    if ablate != "const_replica":
+        p_list, rho_list, inv_list = [], [], []
+        for g in range(num_g):
+            ch = k * num_g + g
+            rho_s = params_ref[ch, 2]
+            p_s = (
+                params_ref[ch, 3]
+                + base_ref[i, 1]
+                + (rho_s - jnp.float32(rho_nom)) * n0
+            )
+            p_s = p_s - lc * jnp.floor(p_s / lc)          # [0, Lc) scalar
+            p_list.append(p_s)
+            rho_list.append(rho_s)
+            inv_list.append(1.0 / rho_s)
+
+        def lanes_vec(vals):
+            return jnp.concatenate(
+                [jnp.full((1, 1), v, jnp.float32) for v in vals], axis=1
+            )                                             # [1, G]
+
+        p_v = lanes_vec(p_list)
+        rho_v = lanes_vec(rho_list)
+        inv_v = lanes_vec(inv_list)
+        c_all = jnp.floor(n_row * rho_v + p_v)            # [e8, G] f32
+        ci_all = jnp.minimum(
+            c_all.astype(jnp.int32), jnp.int32((crt - 1) * LANES - 1)
+        )
+        q_all = jax.lax.div(ci_all, LANES)                # [e8, G]
+        l_all = jax.lax.rem(ci_all, LANES)
+        # Boundary lanes for all (j, g): in-row sample where chip c_r + j
+        # starts (exact ceil arithmetic, cf. _transition_channel's bounds()).
+        nj1 = num_j - 1
+        c_t = pltpu.repeat(c_all, nj1, axis=1)            # [e8, (J-1)G]
+        p_t = pltpu.repeat(p_v, nj1, axis=1)
+        inv_t = pltpu.repeat(inv_v, nj1, axis=1)
+        j_t = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, nj1 * num_g), 1)
+            // num_g
+            + 1
+        ).astype(jnp.float32)
+        b_all = jnp.ceil((c_t + j_t - p_t) * inv_t) - n_row  # [e8, (J-1)G]
+
+    for g in range(chans_per_step):
+        if ablate == "const_replica":
+            rep = jnp.broadcast_to(codecol_ref[g][0:1, :], (e8, LANES))
+        else:
+            # Two-level one-hot gather of chips c_r .. c_r + J-1 per row: lane
+            # digit via one MXU matmul against J statically-shifted code
+            # planes, row digit via a [e8, crt] compare-mask + a second
+            # (constant) matmul that also folds the j-differencing:
+            # column 0 of vsdv = V_0, column j = V_j - V_{j-1}.
+            onehot = (l_all[:, g : g + 1] == lane_i).astype(mm_dtype)
+            code2d = codecol_ref[g]                               # [crt, 128]
+            planes = [code2d] + [
+                _flat_shift(code2d, j) for j in range(1, num_j)
+            ]
+            stack = jnp.concatenate(planes, axis=0).astype(mm_dtype)
+            gath = jax.lax.dot_general(
+                onehot, stack, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                     # [e8, J*crt]
+            qmask = (qio == q_all[:, g : g + 1]).astype(mm_dtype)
+            masked = gath.astype(mm_dtype) * pltpu.repeat(
+                qmask, num_j, axis=1
+            )                                                     # [e8, J*crt]
+            ncol = (num_j + 7) // 8 * 8
+            blk = (
+                jax.lax.broadcasted_iota(jnp.int32, (num_j * crt, ncol), 0)
+                // crt
+            )
+            col = jax.lax.broadcasted_iota(jnp.int32, (num_j * crt, ncol), 1)
+            diff = ((blk == col).astype(mm_dtype)
+                    - (blk + 1 == col).astype(mm_dtype))
+            vsdv = jax.lax.dot_general(
+                masked, diff, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                 # [e8, ncol] f32
+            # Per-row boundary reconstruction (f32: this Mosaic target has no
+            # bf16 vector compare).
+            rep = jnp.broadcast_to(vsdv[:, 0:1], (e8, LANES))
+            for j in range(1, num_j):
+                bj = b_all[:, (j - 1) * num_g + g : (j - 1) * num_g + g + 1]
+                rep = rep + jnp.where(
+                    lane_f >= bj, vsdv[:, j : j + 1], 0.0
+                )
+
+        # Carrier wipe-off from hoisted phasors.
+        if ablate == "no_carrier":
+            dw_re, dw_im = sre, sim
+        else:
+            rc = rowcos_ref[g, 0]                                 # [TR, 1]
+            rs = rowsin_ref[g, 0]
+            lcos = lanecos_ref[g, 0:1, :]                         # [1, 128]
+            lsin = lanesin_ref[g, 0:1, :]
+            cos = rc * lcos - rs * lsin
+            sin = rs * lcos + rc * lsin
+            dw_re = sre * cos + sim * sin
+            dw_im = sim * cos - sre * sin
+
+        if ablate == "no_mac":
+            # Keep rep and dw live with a token-sized reduction.
+            acc = jnp.sum(
+                rep[:8, :] * dw_re[:, :8, :], axis=(-2, -1), keepdims=True
+            )[:, :, 0]                                            # [A, 1]
+            outre_ref[g] += acc
+            outim_ref[g] += acc
+            continue
+
+        if tap_mac == "diag":
+            # MXU-diagonal MAC: acc[δ] = Σ_{r,b} dw[r,b]·rep[r, b+δ] with the
+            # row-carry split. Compute M = dwᵀ @ rep (and M' against the
+            # next-row rep) — the multiply AND the 256-row reduction ride the
+            # MXU — then each tap's sum is one (constant-mask) diagonal of M:
+            #   acc[δ] = Σ_b M[b, b+δ]           (b <  128-δ)
+            #          + Σ_b M'[b, b+δ-128]      (b >= 128-δ)
+            # The per-tap totals are two more MXU passes (ones-matmuls), so
+            # the VPU does only 2 mask ops per (tap, plane) — replacing the
+            # elementwise product + full reduction of the sum2d path.
+            rep_m = rep[: tile_rows]                              # [TR, 128]
+            rep_n = pltpu.roll(rep, e8 - 1, axis=0)[: tile_rows]  # rows +1
+            ones8 = jnp.ones((LANES, 8), jnp.float32)
+            lane_c = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+            lane_r = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+            for a in range(num_ants):
+                mats = {}
+                for nm, dw in (("re", dw_re), ("im", dw_im)):
+                    dwa = dw[a]                                   # [TR, 128]
+                    for sfx, rhs in (("", rep_m), ("n", rep_n)):
+                        mats[nm + sfx] = jax.lax.dot_general(
+                            dwa, rhs, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )                                         # [128, 128]
+                for l, delta in enumerate(deltas):
+                    sel_m = (lane_c - lane_r == delta)
+                    sel_c = (lane_r - lane_c == LANES - delta)
+                    for nm, ref in (("re", outre_ref), ("im", outim_ref)):
+                        w = jnp.where(sel_m, mats[nm], 0.0) + (
+                            jnp.where(sel_c, mats[nm + "n"], 0.0)
+                            if delta
+                            else 0.0
+                        )
+                        s8 = jax.lax.dot_general(
+                            w, ones8, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )                                         # [128, 8]
+                        tot = jax.lax.dot_general(
+                            ones8, s8, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )                                         # [8, 8]
+                        ref[g, a : a + 1, l : l + 1] += tot[0:1, 0:1]
+            continue
+
+        if tap_mac == "mxu":
+            # One [A, T] x [L, T] contraction. NOTE: the T-axis accumulation
+            # is a serial chain of T/128 MXU passes with a tiny [A, L] output
+            # — latency-bound at ~8 cycles/pass (measured ~4.5 ms/block at
+            # K=1024, N=32768: 2*256 passes/channel).
+            taps = jnp.stack(
+                [_flat_shift(rep, delta)[:tile_rows] for delta in deltas],
+                axis=0,
+            ).reshape(len(deltas), tile)                          # [L, T]
+            acc_re = jax.lax.dot_general(
+                dw_re.reshape(num_ants, tile), taps, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                     # [A, L]
+            acc_im = jax.lax.dot_general(
+                dw_im.reshape(num_ants, tile), taps, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            outre_ref[g] += acc_re
+            outim_ref[g] += acc_im
+            continue
+
+        # "sum2d": per-tap elementwise product reduced in native [R, 128]
+        # layout — full 8x128 vregs on both axes of the reduction (a flat
+        # [1, T] jnp.sum uses 1/8 of every vreg and a serial lane tree; the
+        # [A, tile] reshape is what made the old VPU path slow). Sums stay
+        # 2-D into [:, l:l+1] slices (rank-1 writes crash libtpu layout
+        # inference for A > 1).
+        for l, delta in enumerate(deltas):
+            tap = _flat_shift(rep, delta)[:tile_rows]             # [TR, 128]
+            s_re = jnp.sum(
+                dw_re * tap, axis=(-2, -1), keepdims=True
+            )[:, :, 0]                                            # [A, 1]
+            s_im = jnp.sum(
+                dw_im * tap, axis=(-2, -1), keepdims=True
+            )[:, :, 0]
+            outre_ref[g, :, l : l + 1] += s_re
+            outim_ref[g, :, l : l + 1] += s_im
+
+
+def correlate_pallas_bank_rows(
+    signal_re: jax.Array,
+    signal_im: jax.Array,
+    codes: jax.Array,
+    prn: jax.Array,
+    carrier_frequency: jax.Array,
+    sampling_frequency,
+    carrier_phase: jax.Array,
+    code_frequency: jax.Array,
+    code_phase: jax.Array,
+    sample_shifts: Sequence[int],
+    code_length: int,
+    tile_rows: int = 256,
+    nominal_code_frequency: float | None = None,
+    nominal_carrier_frequency: float = 0.0,
+    max_chips_per_sample: float | None = None,
+    code_tiles: jax.Array | None = None,
+    chans_per_step: int = 1,
+    matmul_dtype=jnp.bfloat16,
+    tap_mac: str = "sum2d",
+    ablate: str = "none",
+) -> tuple[jax.Array, jax.Array]:
+    """Per-row boundary fused EPL bank correlator (high-sample-rate flagship).
+
+    Same contract as `correlate_pallas_bank` (one shared ``[N]`` / ``[A, N]``
+    front-end block against ``[K]`` channels, ``[K, (A,) L]`` accumulators,
+    tap span < 128 samples). Restricted to chip rates where a 128-sample row
+    touches few chips (``< ~0.17`` chips/sample — GPS L1 above ~6 MHz; use
+    `correlate_pallas_bank` below that or for L5-class chip rates).
+    """
+    span = int(max(sample_shifts)) - int(min(sample_shifts))
+    if span >= LANES:
+        raise ValueError(
+            f"tap span {span} >= {LANES}; use the XLA bank path for wide spans"
+        )
+    squeeze = signal_re.ndim == 1
+    if squeeze:
+        signal_re, signal_im = signal_re[None], signal_im[None]
+    num_ants, num_samples = signal_re.shape
+    num_taps = len(sample_shifts)
+    d_min = int(min(sample_shifts))
+    deltas = tuple(int(d) - d_min for d in sample_shifts)
+    num_k = prn.shape[0]
+    fs = float(sampling_frequency)
+
+    tile_rows, num_j, crt = _rows_geometry(
+        num_samples, tile_rows, fs, code_length,
+        nominal_code_frequency, max_chips_per_sample,
+    )
+    tile = tile_rows * LANES
+    if code_tiles is None:
+        code_tiles = prepare_bank_code_tiles_rows(
+            codes, prn, code_length=code_length, num_samples=num_samples,
+            sampling_frequency=fs, tile_rows=tile_rows,
+            nominal_code_frequency=nominal_code_frequency,
+            max_chips_per_sample=max_chips_per_sample,
+        )
+    elif code_tiles.shape[1] != crt:
+        raise ValueError(
+            f"code_tiles rows {code_tiles.shape[1]} != expected {crt}; "
+            "prepare_bank_code_tiles_rows geometry must match the kernel call"
+        )
+    codecol = code_tiles
+
+    num_tiles = pl.cdiv(num_samples, tile)
+    n_pad = num_tiles * tile
+    sre = _pad_to(signal_re, n_pad).reshape(num_ants, -1, LANES)
+    sim = _pad_to(signal_im, n_pad).reshape(num_ants, -1, LANES)
+
+    rho_nom = (
+        float(nominal_code_frequency) / fs
+        if nominal_code_frequency is not None
+        else 0.0
+    )
+    fcar_nom_cyc = float(nominal_carrier_frequency) / fs
+    import numpy as _np
+
+    t_idx = _np.arange(num_tiles, dtype=_np.float64) * tile
+    base = jnp.asarray(
+        _np.stack(
+            [
+                _np.mod(fcar_nom_cyc * t_idx, 1.0),
+                _np.mod(rho_nom * t_idx, float(code_length)),
+            ],
+            axis=-1,
+        ),
+        jnp.float32,
+    )                                                            # [tiles, 2]
+
+    rho = jnp.asarray(code_frequency, jnp.float32) / jnp.float32(fs)
+    params = jnp.stack(
+        [
+            jnp.asarray(carrier_frequency, jnp.float32) / jnp.float32(fs),
+            jnp.asarray(carrier_phase, jnp.float32) / jnp.float32(_TWO_PI),
+            rho,
+            jnp.asarray(code_phase, jnp.float32) + rho * jnp.float32(d_min),
+        ],
+        axis=-1,
+    )                                                            # [K, 4]
+
+    g = max(int(chans_per_step), 1)
+    num_kp = pl.cdiv(num_k, g) * g
+    if num_kp != num_k:
+        pad = ((0, num_kp - num_k),)
+        params = jnp.pad(params, pad + ((0, 0),), mode="edge")
+        codecol = jnp.pad(codecol, pad + ((0, 0), (0, 0)), mode="edge")
+
+    extra_inputs, extra_specs = _hoisted_carrier(
+        params, base, num_tiles, tile_rows, fcar_nom_cyc, g
+    )
+
+    grid_spec = pl.GridSpec(
+        grid=(num_kp // g, num_tiles),
+        in_specs=[
+            pl.BlockSpec((num_kp, 4), lambda k, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((num_tiles, 2), lambda k, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            *extra_specs,
+            pl.BlockSpec((num_ants, tile_rows, LANES), lambda k, i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_ants, tile_rows, LANES), lambda k, i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, crt, LANES), lambda k, i: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((g, num_ants, num_taps), lambda k, i: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, num_ants, num_taps), lambda k, i: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((num_kp, num_ants, num_taps), jnp.float32),
+        jax.ShapeDtypeStruct((num_kp, num_ants, num_taps), jnp.float32),
+    )
+    kernel = functools.partial(
+        _bank_rows_kernel,
+        deltas=deltas, code_length=int(code_length),
+        tile_rows=int(tile_rows), crt=int(crt), num_j=int(num_j),
+        rho_nom=rho_nom, chans_per_step=g, mm_dtype=matmul_dtype,
+        tap_mac=tap_mac, ablate=ablate,
+    )
+    acc_re, acc_im = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(params, base, *extra_inputs, sre, sim, codecol)
+    acc_re, acc_im = acc_re[:num_k], acc_im[:num_k]
+    if squeeze:
+        acc_re, acc_im = acc_re[:, 0], acc_im[:, 0]
+    return acc_re, acc_im
+
+
 registry.register("pallas_taps", correlate_pallas_taps)
 registry.register("pallas_fused", correlate_pallas_fused)
 registry.register("pallas_bank", correlate_pallas_bank)
 registry.register("pallas_bank_onehot", correlate_pallas_bank_onehot)
+registry.register("pallas_bank_rows", correlate_pallas_bank_rows)

@@ -50,4 +50,6 @@ register("xla_bank", correlate.correlate_xla_bank)
 
 # Algorithms with the bank signature ([K]-array channel parameters and a
 # shared front-end signal) -- the 3-D multi-satellite family.
-BANK_ALGORITHMS = {"xla_bank", "pallas_bank", "pallas_bank_onehot"}
+BANK_ALGORITHMS = {
+    "xla_bank", "pallas_bank", "pallas_bank_onehot", "pallas_bank_rows",
+}

@@ -48,6 +48,14 @@ class TrackConfig:
     # Indexed by the channel's ms_elapsed — align with `init_state`'s
     # ``ms_elapsed`` after secondary-code sync (`tracking.secondary`).
     secondary_code: tuple = ()
+    # Coherent post-integration: accumulate the (overlay-wiped) accumulators
+    # over this many consecutive blocks before each discriminator/filter
+    # update (the Tracking.jl extended-integration role). Extends coherent
+    # SNR by ~10*log10(k) dB for weak signals; requires overlay alignment
+    # (secondary sync) so block signs are consistent. NCO phases still
+    # advance every block; the loop closes once per window with
+    # integration time k * t.
+    coherent_blocks: int = 1
 
     @classmethod
     def for_system(
@@ -123,6 +131,10 @@ class TrackState(NamedTuple):
     ms_elapsed: jnp.ndarray       # int32
     prev_prompt_re: jnp.ndarray   # previous block's prompt (FLL discriminator)
     prev_prompt_im: jnp.ndarray
+    # Running coherent accumulators over the current integration window
+    # ([..., L] beamformed taps; zeros when config.coherent_blocks == 1).
+    coh_re: jnp.ndarray
+    coh_im: jnp.ndarray
 
 
 class TrackOutput(NamedTuple):
@@ -148,6 +160,7 @@ def init_state(
     code_phase: float | np.ndarray = 0.0,
     cn0_window: int = 20,
     ms_elapsed: int | np.ndarray = 0,
+    num_taps: int = 3,
 ) -> TrackState:
     """Build an initial state; array arguments create a batched channel bank.
 
@@ -186,4 +199,6 @@ def init_state(
         ),
         prev_prompt_re=full(0.0),
         prev_prompt_im=full(0.0),
+        coh_re=jnp.zeros(batch + (num_taps,), jnp.float32),
+        coh_im=jnp.zeros(batch + (num_taps,), jnp.float32),
     )

@@ -105,27 +105,45 @@ def loop_update(
     # Beamform over any antenna axis for the discriminators.
     bf_re, bf_im = _beamform(accum_re, accum_im, ant_weights)
     pidx = config.prompt_index
-    prompt_re, prompt_im = bf_re[..., pidx], bf_im[..., pidx]
+
+    # Coherent post-integration: accumulate overlay-wiped taps over a
+    # k_coh-block window; the discriminators/filters see the windowed sums
+    # and only update at window boundaries (masked select below). NCO phases
+    # still advance every block.
+    k_coh = max(int(config.coherent_blocks), 1)
+    if k_coh > 1:
+        coh_re = state.coh_re + bf_re
+        coh_im = state.coh_im + bf_im
+        boundary = (state.ms_elapsed + 1) % k_coh == 0
+        t_coh = jnp.float32(t * k_coh)
+    else:
+        coh_re, coh_im = bf_re, bf_im
+        boundary = None
+        t_coh = jnp.float32(t)
+    prompt_re, prompt_im = coh_re[..., pidx], coh_im[..., pidx]
 
     pll_err = discriminators.pll_costas(prompt_re, prompt_im)
     # Early = most-advanced replica (largest positive sample shift, last tap).
     dll_err = discriminators.dll_emle(
-        bf_re[..., -1], bf_im[..., -1], bf_re[..., 0], bf_im[..., 0],
+        coh_re[..., -1], coh_im[..., -1], coh_re[..., 0], coh_im[..., 0],
         config.spacing_chips,
     )
-    # FLL assist from consecutive prompts (zeroed on the first block, where
-    # there is no previous prompt to difference against).
+    # FLL assist from consecutive (windowed) prompts, zeroed until a previous
+    # window's prompt exists to difference against.
     fll_err = discriminators.fll_atan2(
-        state.prev_prompt_re, state.prev_prompt_im, prompt_re, prompt_im, t
+        state.prev_prompt_re, state.prev_prompt_im, prompt_re, prompt_im,
+        t_coh,
     )
-    fll_err = jnp.where(state.ms_elapsed > 0, fll_err, 0.0)
+    fll_err = jnp.where(state.ms_elapsed >= k_coh, fll_err, 0.0)
 
     pll_state, doppler_cmd = loop_filter.step(
-        state.pll_filter, pll_err, t, config.pll_bandwidth, config.pll_order,
+        state.pll_filter, pll_err, t_coh, config.pll_bandwidth,
+        config.pll_order,
         fll_error=fll_err, fll_bandwidth=config.fll_bandwidth,
     )
     dll_state, code_cmd = loop_filter.step(
-        state.dll_filter, dll_err, t, config.dll_bandwidth, config.dll_order
+        state.dll_filter, dll_err, t_coh, config.dll_bandwidth,
+        config.dll_order
     )
 
     # Carrier aiding: code Doppler follows carrier Doppler scaled into chip rate
@@ -134,6 +152,33 @@ def loop_update(
     new_code_doppler = (
         code_cmd + new_carrier_doppler * config.code_frequency / config.center_frequency
     )
+
+    if k_coh > 1:
+        # Between boundaries: keep the old filter states / Doppler commands,
+        # keep accumulating; at a boundary: adopt the update, reset the window.
+        def sel(new, old):
+            return jax.tree.map(
+                lambda a, b: jnp.where(
+                    boundary.reshape(boundary.shape + (1,) * (a.ndim - boundary.ndim)),
+                    a, b,
+                ),
+                new, old,
+            )
+
+        pll_state = sel(pll_state, state.pll_filter)
+        dll_state = sel(dll_state, state.dll_filter)
+        new_carrier_doppler = sel(new_carrier_doppler, state.carrier_doppler)
+        new_code_doppler = sel(new_code_doppler, state.code_doppler)
+        prompt_keep = sel(prompt_re, state.prev_prompt_re)
+        prompt_keep_im = sel(prompt_im, state.prev_prompt_im)
+        coh_re = sel(jnp.zeros_like(coh_re), coh_re)
+        coh_im = sel(jnp.zeros_like(coh_im), coh_im)
+        pll_err = sel(pll_err, jnp.zeros_like(pll_err))
+        dll_err = sel(dll_err, jnp.zeros_like(dll_err))
+    else:
+        prompt_keep, prompt_keep_im = prompt_re, prompt_im
+        coh_re = jnp.zeros_like(state.coh_re)
+        coh_im = jnp.zeros_like(state.coh_im)
 
     # NCO phase propagation over the block just consumed (with the frequencies
     # that generated its replicas), wrapped to keep f32 exact.
@@ -145,7 +190,10 @@ def loop_update(
         state.code_phase + code_freq * jnp.float32(t), jnp.float32(config.code_length)
     )
 
-    cn0_state = cn0_mod.update(state.cn0, prompt_re, prompt_im)
+    # C/N0 runs on the per-block prompt regardless of the coherent window.
+    cn0_state = cn0_mod.update(
+        state.cn0, bf_re[..., pidx], bf_im[..., pidx]
+    )
     cn0_dbhz = cn0_mod.estimate(cn0_state, jnp.float32(t))
 
     new_state = TrackState(
@@ -158,8 +206,10 @@ def loop_update(
         dll_filter=dll_state,
         cn0=cn0_state,
         ms_elapsed=state.ms_elapsed + 1,
-        prev_prompt_re=prompt_re,
-        prev_prompt_im=prompt_im,
+        prev_prompt_re=prompt_keep,
+        prev_prompt_im=prompt_keep_im,
+        coh_re=coh_re,
+        coh_im=coh_im,
     )
     output = TrackOutput(
         accum_re=accum_re,
@@ -204,7 +254,7 @@ def track(
 def _bank_kernel_kwargs(config: TrackConfig) -> dict:
     """Static kwargs for a bank-signature correlator from the config."""
     kwargs = {"sampling_frequency": config.sampling_frequency}
-    if config.algorithm == "pallas_bank":
+    if config.algorithm in ("pallas_bank", "pallas_bank_rows"):
         kwargs["nominal_code_frequency"] = config.code_frequency
         kwargs["nominal_carrier_frequency"] = config.intermediate_frequency
     if config.tile_rows is not None and config.algorithm.startswith("pallas_bank"):
@@ -225,12 +275,17 @@ def _bank_code_tile_kwargs(
     """
     from ..ops import pallas_epl
 
-    if config.algorithm == "pallas_bank":
+    if config.algorithm in ("pallas_bank", "pallas_bank_rows"):
         tile_kwargs = (
             {} if config.tile_rows is None else {"tile_rows": config.tile_rows}
         )
+        prepare = (
+            pallas_epl.prepare_bank_code_tiles
+            if config.algorithm == "pallas_bank"
+            else pallas_epl.prepare_bank_code_tiles_rows
+        )
         return {
-            "code_tiles": pallas_epl.prepare_bank_code_tiles(
+            "code_tiles": prepare(
                 codes, prn,
                 code_length=config.code_length,
                 num_samples=num_samples or config.num_samples,

@@ -354,6 +354,111 @@ class TestBankKernel:
             self._bank(system, sre, sim, fs, shifts, [0], [0.0])
 
 
+class TestBankRowsKernel:
+    """Per-row boundary bank kernel (`pallas_bank_rows`): the high-rate
+    flagship. Must be bit-identical to the transition kernel (same exact
+    floor/ceil chip arithmetic, different reconstruction)."""
+
+    def _run(self, algo, system, sre, sim, fs, shifts, prns, dops,
+             carrier_phase, code_freq, code_phase, **kw):
+        fn = jax.jit(functools.partial(
+            registry.get(algo), sample_shifts=tuple(int(s) for s in shifts),
+            code_length=system.code_length, sampling_frequency=fs,
+            nominal_code_frequency=system.code_frequency, **kw,
+        ))
+        are, aim = fn(
+            sre, sim, jnp.asarray(system.codes), jnp.asarray(prns, jnp.int32),
+            jnp.asarray(dops, jnp.float32),
+            carrier_phase=jnp.asarray(carrier_phase, jnp.float32),
+            code_frequency=jnp.asarray(code_freq, jnp.float32),
+            code_phase=jnp.asarray(code_phase, jnp.float32),
+        )
+        return np.asarray(are), np.asarray(aim)
+
+    def _random_case(self, system, N, K, seed=0):
+        rng = np.random.default_rng(seed)
+        fs = N / 1e-3
+        signal, _ = gen_signal(system, 0, 1500.0, N)
+        sre, sim = soa(signal)
+        shifts = correlator_sample_shifts(system, EPLCorrelator(3), fs)
+        return dict(
+            system=system, sre=sre, sim=sim, fs=fs, shifts=shifts,
+            prns=np.arange(K) % 32,
+            dops=1500.0 + rng.uniform(-4000.0, 4000.0, K),
+            carrier_phase=rng.uniform(0, 2 * np.pi, K),
+            code_freq=system.code_frequency + rng.uniform(-3, 3, K),
+            code_phase=rng.uniform(0, system.code_length, K),
+        )
+
+    @pytest.mark.parametrize("n_samples,k", [(32768, 8), (8192, 5)])
+    def test_matches_transition_kernel(self, n_samples, k):
+        # Same exact floor/ceil chip arithmetic as the transition kernel up
+        # to f32 FMA-contraction order, which can flip a rare chip boundary
+        # by one sample (amplitude ±2) — the shared envelope both kernels
+        # have vs the per-sample oracle.
+        case = self._random_case(GPSL1(), n_samples, k)
+        got = self._run("pallas_bank_rows", **case)
+        want = self._run("pallas_bank", **case)
+        np.testing.assert_allclose(got[0], want[0], rtol=2e-3, atol=4.5)
+        np.testing.assert_allclose(got[1], want[1], rtol=2e-3, atol=4.5)
+
+    def test_golden_prompt(self):
+        system = GPSL1()
+        N = 32768
+        fs = N / 1e-3
+        signal, _ = gen_signal(system, 0, 1500.0, N)
+        sre, sim = soa(signal)
+        shifts = correlator_sample_shifts(system, EPLCorrelator(3), fs)
+        z = np.zeros(3)
+        are, _ = self._run(
+            "pallas_bank_rows", system, sre, sim, fs, shifts, [0, 0, 0],
+            z + 1500.0, z, z + system.code_frequency, z,
+        )
+        np.testing.assert_array_equal(are[:, 1], np.full(3, float(N)))
+
+    def test_multi_tile_and_chans_per_step(self):
+        # tile_rows < N/128 exercises the multi-tile nominal-base rebasing;
+        # chans_per_step exercises group batching incl. the K padding path.
+        # Retiling itself moves f32 phase-rebasing boundaries (identically in
+        # both bank kernels), so each shape is checked bit-exactly against the
+        # transition kernel at the SAME tile shape instead of across shapes.
+        case = self._random_case(GPSL1(), 16384, 6, seed=3)
+        base = self._run("pallas_bank_rows", **case)
+        for kw in ({}, {"tile_rows": 64}):
+            got = self._run("pallas_bank_rows", **case, **kw,
+                            chans_per_step=4)
+            want = self._run("pallas_bank", **case, **kw)
+            np.testing.assert_allclose(got[0], want[0], rtol=2e-3, atol=4.5,
+                                       err_msg=str(kw))
+            np.testing.assert_allclose(got[1], want[1], rtol=2e-3, atol=4.5,
+                                       err_msg=str(kw))
+        # Group batching itself must not change results at all.
+        np.testing.assert_array_equal(
+            self._run("pallas_bank_rows", **case, chans_per_step=4)[0],
+            base[0],
+        )
+
+    def test_multi_antenna(self):
+        system = GPSL1()
+        signal, fs = gen_signal(system, 0, 1500.0, 32768, num_ants=2)
+        sre, sim = soa(signal)
+        shifts = correlator_sample_shifts(system, EPLCorrelator(3), fs)
+        z = np.zeros(2)
+        are, aim = self._run(
+            "pallas_bank_rows", system, sre, sim, fs, shifts, [0, 0],
+            z + 1500.0, z, z + system.code_frequency, z,
+        )
+        assert are.shape == (2, 2, 3)
+        np.testing.assert_array_equal(are[:, :, 1], np.full((2, 2), 32768.0))
+
+    def test_low_rate_rejected(self):
+        # 2.5 MHz GPS L1 is ~0.41 chips/sample -> a row touches ~54 chips;
+        # the rows kernel refuses and the transition kernel is the right tool.
+        case = self._random_case(GPSL1(), 2500, 2)
+        with pytest.raises(ValueError, match="chips/sample"):
+            self._run("pallas_bank_rows", **case)
+
+
 def test_registry_names():
     names = registry.names()
     for expected in ["fused_xla", "unfused_xla", "pallas_taps", "pallas_fused",

@@ -199,6 +199,29 @@ class TestTrackBankSharded:
             rtol=1e-4, atol=5e-3,
         )
 
+    def test_rows_kernel_sharded(self):
+        # The flagship per-row bank kernel on the (chan, time) mesh must
+        # reproduce its own unsharded run (8.192 MHz: the rows regime).
+        system, config, states, sre, sim = self._scenario(
+            num_k=4, num_ms=10, N=8192
+        )
+        config_rows = dataclasses.replace(config, algorithm="pallas_bank_rows")
+        mesh = channel_time_mesh(num_chan_shards=2, num_time_shards=2)
+        final_s, out_s = track_bank_sharded(
+            config_rows, jnp.asarray(system.codes), states, sre, sim, mesh=mesh
+        )
+        final_u, out_u = track_bank(
+            config_rows, jnp.asarray(system.codes), states, sre, sim
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_s.prompt_re), np.asarray(out_u.prompt_re),
+            rtol=5e-3, atol=10.0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(final_s.code_phase), np.asarray(final_u.code_phase),
+            rtol=1e-4, atol=5e-3,
+        )
+
     def test_output_sharding_layout(self):
         system, config, states, sre, sim = self._scenario(num_k=8, num_ms=4)
         mesh = channel_time_mesh(num_chan_shards=4, num_time_shards=2)

@@ -174,6 +174,73 @@ class TestClosedLoop:
             np.asarray(outs["pallas_bank"].carrier_doppler),
             np.asarray(outs["fused_xla"].carrier_doppler), rtol=1e-3, atol=1.0)
 
+    def test_coherent_integration_rescues_weak_signal(self):
+        # Multi-period coherent integration (config.coherent_blocks) after
+        # overlay alignment: at ~25 dB-Hz a 1 ms Costas loop loses lock while
+        # a 10 ms coherent window (+10 dB coherent SNR) converges — the
+        # Tracking.jl extended-integration role (SURVEY.md §0) on device.
+        from gpuacceleratedtracking_tpu.models import gpsl5
+
+        system = GPSL1()
+        N, num_ms = 2048, 800
+        fs = N / 1e-3
+        true_dop = 600.0
+        nh = gpsl5.neuman_hofman()          # NH10 overlay, wiped per block
+        sig, _ = gen_signal(
+            system, 0, true_dop, N * num_ms, duration=num_ms * 1e-3,
+            code_frequency=system.code_frequency
+            * (1 + true_dop / system.center_frequency),
+            noise_std=40.0, key=jax.random.key(7), secondary_code=nh,
+        )
+        sre, sim = soa(sig)
+        sre, sim = sre.reshape(num_ms, N), sim.reshape(num_ms, N)
+        errs = {}
+        for k_coh in (1, 10):
+            config = TrackConfig.for_system(
+                system, fs, N,
+                secondary_code=tuple(float(x) for x in nh),
+                coherent_blocks=k_coh,
+                pll_bandwidth=18.0 if k_coh == 1 else 8.0,
+            )
+            st = init_state(0, carrier_doppler=true_dop + 20.0)
+            _, out = track(config, jnp.asarray(system.codes), st, sre, sim)
+            dop = np.asarray(out.carrier_doppler)
+            errs[k_coh] = abs(np.mean(dop[-50:]) - true_dop)
+        assert errs[10] < 3.0, errs
+        assert errs[1] > 15.0, errs   # 1 ms integration cannot hold this SNR
+
+    def test_track_bank_rows_kernel_matches_transition(self):
+        # The per-row boundary kernel closes the loop identically to the
+        # transition kernel at high sampling rates (the flagship regime).
+        system = GPSL1()
+        N, num_ms, K = 8192, 20, 3
+        fs = N / 1e-3
+        dops = np.array([-900.0, 100.0, 1500.0])
+        sigs = []
+        for prn, d in enumerate(dops):
+            scale = 1.0 + d / system.center_frequency
+            s, _ = gen_signal(system, prn, d, N * num_ms,
+                              duration=num_ms * 1e-3,
+                              code_frequency=system.code_frequency * scale)
+            sigs.append(s)
+        mixed = sum(sigs[1:], sigs[0])
+        sre, sim = soa(mixed)
+        sre, sim = sre.reshape(num_ms, N), sim.reshape(num_ms, N)
+        states = init_state(np.arange(K), carrier_doppler=dops)
+        outs = {}
+        for algo in ["pallas_bank", "pallas_bank_rows"]:
+            config = TrackConfig.for_system(system, fs, N, algorithm=algo)
+            _, out = track_bank(config, jnp.asarray(system.codes), states,
+                                sre, sim)
+            outs[algo] = out
+        np.testing.assert_allclose(
+            np.asarray(outs["pallas_bank_rows"].prompt_re),
+            np.asarray(outs["pallas_bank"].prompt_re), rtol=5e-3, atol=10.0)
+        np.testing.assert_allclose(
+            np.asarray(outs["pallas_bank_rows"].carrier_doppler),
+            np.asarray(outs["pallas_bank"].carrier_doppler),
+            rtol=1e-3, atol=1.0)
+
     def test_track_bank_channels_independent(self):
         # Two channels, different PRNs/Dopplers, one shared front-end stream:
         # sum of two satellite signals; both channels must lock onto their own.
