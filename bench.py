@@ -31,7 +31,7 @@ NUM_CHANNELS = int(os.environ.get("BENCH_CHANNELS", "1024"))
 NUM_SAMPLES = int(os.environ.get("BENCH_SAMPLES", "32768"))
 REPS = int(os.environ.get("BENCH_REPS", "6"))
 TRIALS = int(os.environ.get("BENCH_TRIALS", "9"))
-ALGORITHM = os.environ.get("BENCH_ALGO", "pallas_bank")
+ALGORITHM = os.environ.get("BENCH_ALGO", "pallas_bank_auto")
 TILE_ROWS = int(os.environ.get("BENCH_TILE_ROWS", "0"))  # 0 = autotune cache
 BASELINE_SAMPLES_PER_S = 1e8
 

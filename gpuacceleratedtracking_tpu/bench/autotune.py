@@ -112,7 +112,9 @@ def autotune_tile_rows(
             tile_rows=tile_rows,
             **(
                 {"nominal_code_frequency": system.code_frequency}
-                if algorithm in ("pallas_bank", "pallas_bank_rows")
+                if algorithm in (
+                    "pallas_bank", "pallas_bank_rows", "pallas_bank_auto"
+                )
                 else {}
             ),
         )

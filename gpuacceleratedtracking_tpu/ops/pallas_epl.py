@@ -911,6 +911,32 @@ def _hoisted_carrier(
     return extra_inputs, [row_spec, row_spec, lane_spec, lane_spec]
 
 
+def _hoisted_lane_phasors(params: jax.Array, g: int) -> tuple[list, list]:
+    """Lane-phasor-only hoisting: dense ``[Kp, 8, 128]`` cos/sin blocks.
+
+    Row phasors must NOT be hoisted as ``[Kp, tiles, TR, 1]``: the trailing
+    unit minor dim makes XLA pad the last two dims to (8, 128) tiles — a 128x
+    HBM blow-up (~134 MB per call at K=1024, N=32768) that was measured to
+    dominate the whole bank kernel. Rows are cheap to generate in-kernel
+    (one cos/sin over a [TR, 1] column); only the lane phasors ride HBM.
+    """
+    f_cyc_k = params[:, 0]                                   # [Kp]
+    lane = jnp.arange(LANES, dtype=jnp.float32)
+    cyc_lane = f_cyc_k[:, None] * lane[None, :]
+    theta_lane = jnp.float32(_TWO_PI) * (cyc_lane - jnp.floor(cyc_lane))
+    lane_pad = (
+        lambda x: jnp.broadcast_to(x[:, None, :], (x.shape[0], 8, LANES))
+    )
+    extra_inputs = [
+        lane_pad(jnp.cos(theta_lane)),                       # [Kp, 8, 128]
+        lane_pad(jnp.sin(theta_lane)),
+    ]
+    lane_spec = pl.BlockSpec(
+        (g, 8, LANES), lambda k, i: (k, 0, 0), memory_space=pltpu.VMEM
+    )
+    return extra_inputs, [lane_spec, lane_spec]
+
+
 def _transition_geometry(
     num_samples: int,
     tile_rows: int,
@@ -1217,11 +1243,11 @@ def prepare_bank_code_tiles_rows(
 
 
 def _bank_rows_kernel(
-    params_ref, base_ref, rowcos_ref, rowsin_ref, lanecos_ref, lanesin_ref,
+    params_ref, base_ref, lanecos_ref, lanesin_ref,
     sre_ref, sim_ref, codecol_ref, outre_ref, outim_ref,
     *, deltas: tuple, code_length: int, tile_rows: int, crt: int, num_j: int,
-    rho_nom: float, chans_per_step: int, mm_dtype=jnp.bfloat16,
-    tap_mac: str = "sum2d", ablate: str = "none",
+    rho_nom: float, fcar_nom_cyc: float, chans_per_step: int,
+    mm_dtype=jnp.bfloat16, tap_mac: str = "sum2d", ablate: str = "none",
 ):
     """One (channel-group, tile) step of the per-row boundary bank correlator.
 
@@ -1275,7 +1301,7 @@ def _bank_rows_kernel(
     # unit, and all row/boundary vectors are lane-packed: [e8, G] chip
     # indices and [e8, (J-1)*G] boundaries (j-major blocks), so the vector
     # cost is amortized over the whole channel group.
-    if ablate != "const_replica":
+    if ablate not in ("const_replica", "floor"):
         p_list, rho_list, inv_list = [], [], []
         for g in range(num_g):
             ch = k * num_g + g
@@ -1317,8 +1343,35 @@ def _bank_rows_kernel(
         ).astype(jnp.float32)
         b_all = jnp.ceil((c_t + j_t - p_t) * inv_t) - n_row  # [e8, (J-1)G]
 
+    def row_phasors(g):
+        """In-kernel per-channel row phasors (cos, sin) over [TR, 1].
+
+        Same f32 phase decomposition as `_hoisted_carrier`; generated here
+        because hoisting [TR, 1]-shaped arrays through HBM pads them 128x.
+        """
+        ch = k * num_g + g
+        f_cyc = params_ref[ch, 0]
+        phi_tile = params_ref[ch, 1] + base_ref[i, 0] + (
+            f_cyc - jnp.float32(fcar_nom_cyc)
+        ) * n0
+        cyc = f_cyc * n_row[:tile_rows] + phi_tile        # [TR, 1]
+        cyc = cyc - jnp.floor(cyc)
+        theta = jnp.float32(_TWO_PI) * cyc
+        return jnp.cos(theta), jnp.sin(theta)
+
+    if ablate == "empty":
+        # Nothing per channel: isolates grid sequencing + block DMA cost.
+        outre_ref[...] += 1.0
+        outim_ref[...] += 1.0
+        return
+
     for g in range(chans_per_step):
-        if ablate == "const_replica":
+        if ablate == "writes":
+            # Only the per-channel output read-modify-writes.
+            outre_ref[g] += jnp.float32(g + 1)
+            outim_ref[g] += jnp.float32(g + 2)
+            continue
+        if ablate in ("const_replica", "floor"):
             rep = jnp.broadcast_to(codecol_ref[g][0:1, :], (e8, LANES))
         else:
             # Two-level one-hot gather of chips c_r .. c_r + J-1 per row: lane
@@ -1352,8 +1405,9 @@ def _bank_rows_kernel(
                 masked, diff, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                                 # [e8, ncol] f32
-            # Per-row boundary reconstruction (f32: this Mosaic target has no
-            # bf16 vector compare).
+            # Per-row boundary reconstruction in f32 (this Mosaic target has
+            # no bf16 vector compare, and an f32 mask selecting bf16 values
+            # trips an i1-relayout bug).
             rep = jnp.broadcast_to(vsdv[:, 0:1], (e8, LANES))
             for j in range(1, num_j):
                 bj = b_all[:, (j - 1) * num_g + g : (j - 1) * num_g + g + 1]
@@ -1361,12 +1415,11 @@ def _bank_rows_kernel(
                     lane_f >= bj, vsdv[:, j : j + 1], 0.0
                 )
 
-        # Carrier wipe-off from hoisted phasors.
-        if ablate == "no_carrier":
+        # Carrier wipe-off: in-kernel row phasors x hoisted lane phasors.
+        if ablate in ("no_carrier", "floor"):
             dw_re, dw_im = sre, sim
         else:
-            rc = rowcos_ref[g, 0]                                 # [TR, 1]
-            rs = rowsin_ref[g, 0]
+            rc, rs = row_phasors(g)                               # [TR, 1]
             lcos = lanecos_ref[g, 0:1, :]                         # [1, 128]
             lsin = lanesin_ref[g, 0:1, :]
             cos = rc * lcos - rs * lsin
@@ -1374,7 +1427,7 @@ def _bank_rows_kernel(
             dw_re = sre * cos + sim * sin
             dw_im = sim * cos - sre * sin
 
-        if ablate == "no_mac":
+        if ablate in ("no_mac", "floor"):
             # Keep rep and dw live with a token-sized reduction.
             acc = jnp.sum(
                 rep[:8, :] * dw_re[:, :8, :], axis=(-2, -1), keepdims=True
@@ -1448,6 +1501,28 @@ def _bank_rows_kernel(
             outim_ref[g] += acc_im
             continue
 
+        if tap_mac == "mxsum":
+            # VPU product, MXU reduction: prod @ ones sums lanes (natural
+            # lane contraction), ones^T @ (…) sums rows — no transposed
+            # matmuls, no flat-[1, T] reductions.
+            ones_l = jnp.ones((LANES, 8), jnp.float32)
+            ones_r = jnp.ones((8, tile_rows), jnp.float32)
+            for l, delta in enumerate(deltas):
+                tap = _flat_shift(rep, delta)[:tile_rows]         # [TR, 128]
+                for a in range(num_ants):
+                    for dw, ref in ((dw_re, outre_ref), (dw_im, outim_ref)):
+                        prod = dw[a] * tap                        # [TR, 128]
+                        s1 = jax.lax.dot_general(
+                            prod, ones_l, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )                                         # [TR, 8]
+                        tot = jax.lax.dot_general(
+                            ones_r, s1, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )                                         # [8, 8]
+                        ref[g, a : a + 1, l : l + 1] += tot[0:1, 0:1]
+            continue
+
         # "sum2d": per-tap elementwise product reduced in native [R, 128]
         # layout — full 8x128 vregs on both axes of the reduction (a flat
         # [1, T] jnp.sum uses 1/8 of every vreg and a serial lane tree; the
@@ -1487,6 +1562,7 @@ def correlate_pallas_bank_rows(
     matmul_dtype=jnp.bfloat16,
     tap_mac: str = "sum2d",
     ablate: str = "none",
+    pin_dma: str = "",
 ) -> tuple[jax.Array, jax.Array]:
     """Per-row boundary fused EPL bank correlator (high-sample-rate flagship).
 
@@ -1573,8 +1649,20 @@ def correlate_pallas_bank_rows(
         params = jnp.pad(params, pad + ((0, 0),), mode="edge")
         codecol = jnp.pad(codecol, pad + ((0, 0), (0, 0)), mode="edge")
 
-    extra_inputs, extra_specs = _hoisted_carrier(
-        params, base, num_tiles, tile_rows, fcar_nom_cyc, g
+    extra_inputs, extra_specs = _hoisted_lane_phasors(params, g)
+    # DMA-ablation probes (perf diagnosis only — results become wrong): pin a
+    # block family's index map to block 0 so it is fetched once, isolating
+    # that family's per-step DMA cost.
+    if "phasors" in pin_dma:
+        lane_spec = pl.BlockSpec(
+            (g, 8, LANES), lambda k, i: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        extra_specs = [lane_spec, lane_spec]
+    code_spec = pl.BlockSpec(
+        (g, crt, LANES),
+        (lambda k, i: (0, 0, 0)) if "code" in pin_dma else
+        (lambda k, i: (k, 0, 0)),
+        memory_space=pltpu.VMEM,
     )
 
     grid_spec = pl.GridSpec(
@@ -1589,8 +1677,7 @@ def correlate_pallas_bank_rows(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((num_ants, tile_rows, LANES), lambda k, i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, crt, LANES), lambda k, i: (k, 0, 0),
-                         memory_space=pltpu.VMEM),
+            code_spec,
         ],
         out_specs=(
             pl.BlockSpec((g, num_ants, num_taps), lambda k, i: (k, 0, 0),
@@ -1607,8 +1694,8 @@ def correlate_pallas_bank_rows(
         _bank_rows_kernel,
         deltas=deltas, code_length=int(code_length),
         tile_rows=int(tile_rows), crt=int(crt), num_j=int(num_j),
-        rho_nom=rho_nom, chans_per_step=g, mm_dtype=matmul_dtype,
-        tap_mac=tap_mac, ablate=ablate,
+        rho_nom=rho_nom, fcar_nom_cyc=fcar_nom_cyc, chans_per_step=g,
+        mm_dtype=matmul_dtype, tap_mac=tap_mac, ablate=ablate,
     )
     acc_re, acc_im = pl.pallas_call(
         kernel,
@@ -1622,8 +1709,72 @@ def correlate_pallas_bank_rows(
     return acc_re, acc_im
 
 
+def bank_algorithm_for(
+    num_samples: int,
+    sampling_frequency: float,
+    code_length: int,
+    nominal_code_frequency: float | None = None,
+    tile_rows: int = 256,
+    max_chips_per_sample: float | None = None,
+) -> str:
+    """Resolve the best bank kernel for a scenario.
+
+    The per-row kernel wins at high sampling rates (few chips per 128-sample
+    row); the transition kernel covers low rates and L5-class chip rates.
+    """
+    try:
+        _rows_geometry(
+            num_samples, tile_rows, float(sampling_frequency), code_length,
+            nominal_code_frequency, max_chips_per_sample,
+        )
+        return "pallas_bank_rows"
+    except ValueError:
+        return "pallas_bank"
+
+
+def correlate_pallas_bank_auto(
+    signal_re: jax.Array,
+    signal_im: jax.Array,
+    codes: jax.Array,
+    prn: jax.Array,
+    carrier_frequency: jax.Array,
+    sampling_frequency,
+    carrier_phase: jax.Array,
+    code_frequency: jax.Array,
+    code_phase: jax.Array,
+    sample_shifts: Sequence[int],
+    code_length: int,
+    tile_rows: int = 256,
+    nominal_code_frequency: float | None = None,
+    nominal_carrier_frequency: float = 0.0,
+    max_chips_per_sample: float | None = None,
+    code_tiles: jax.Array | None = None,
+    chans_per_step: int = 1,
+) -> tuple[jax.Array, jax.Array]:
+    """Bank correlator with static per-scenario kernel selection."""
+    algo = bank_algorithm_for(
+        signal_re.shape[-1], float(sampling_frequency), code_length,
+        nominal_code_frequency, tile_rows, max_chips_per_sample,
+    )
+    fn = (
+        correlate_pallas_bank_rows
+        if algo == "pallas_bank_rows"
+        else correlate_pallas_bank
+    )
+    return fn(
+        signal_re, signal_im, codes, prn, carrier_frequency,
+        sampling_frequency, carrier_phase, code_frequency, code_phase,
+        sample_shifts, code_length, tile_rows=tile_rows,
+        nominal_code_frequency=nominal_code_frequency,
+        nominal_carrier_frequency=nominal_carrier_frequency,
+        max_chips_per_sample=max_chips_per_sample, code_tiles=code_tiles,
+        chans_per_step=chans_per_step,
+    )
+
+
 registry.register("pallas_taps", correlate_pallas_taps)
 registry.register("pallas_fused", correlate_pallas_fused)
 registry.register("pallas_bank", correlate_pallas_bank)
 registry.register("pallas_bank_onehot", correlate_pallas_bank_onehot)
 registry.register("pallas_bank_rows", correlate_pallas_bank_rows)
+registry.register("pallas_bank_auto", correlate_pallas_bank_auto)

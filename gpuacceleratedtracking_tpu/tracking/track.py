@@ -254,7 +254,9 @@ def track(
 def _bank_kernel_kwargs(config: TrackConfig) -> dict:
     """Static kwargs for a bank-signature correlator from the config."""
     kwargs = {"sampling_frequency": config.sampling_frequency}
-    if config.algorithm in ("pallas_bank", "pallas_bank_rows"):
+    if config.algorithm in (
+        "pallas_bank", "pallas_bank_rows", "pallas_bank_auto"
+    ):
         kwargs["nominal_code_frequency"] = config.code_frequency
         kwargs["nominal_carrier_frequency"] = config.intermediate_frequency
     if config.tile_rows is not None and config.algorithm.startswith("pallas_bank"):
@@ -275,13 +277,21 @@ def _bank_code_tile_kwargs(
     """
     from ..ops import pallas_epl
 
-    if config.algorithm in ("pallas_bank", "pallas_bank_rows"):
+    algorithm = config.algorithm
+    if algorithm == "pallas_bank_auto":
+        algorithm = pallas_epl.bank_algorithm_for(
+            num_samples or config.num_samples, config.sampling_frequency,
+            config.code_length, config.code_frequency,
+            **({} if config.tile_rows is None
+               else {"tile_rows": config.tile_rows}),
+        )
+    if algorithm in ("pallas_bank", "pallas_bank_rows"):
         tile_kwargs = (
             {} if config.tile_rows is None else {"tile_rows": config.tile_rows}
         )
         prepare = (
             pallas_epl.prepare_bank_code_tiles
-            if config.algorithm == "pallas_bank"
+            if algorithm == "pallas_bank"
             else pallas_epl.prepare_bank_code_tiles_rows
         )
         return {
@@ -294,7 +304,7 @@ def _bank_code_tile_kwargs(
                 **tile_kwargs,
             )
         }
-    if config.algorithm == "pallas_bank_onehot":
+    if algorithm == "pallas_bank_onehot":
         return {
             "code_tiles": pallas_epl.prepare_bank_code_tiles_onehot(
                 codes, prn, code_length=config.code_length

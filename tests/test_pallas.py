@@ -458,6 +458,25 @@ class TestBankRowsKernel:
         with pytest.raises(ValueError, match="chips/sample"):
             self._run("pallas_bank_rows", **case)
 
+    def test_auto_selects_per_scenario(self):
+        # pallas_bank_auto resolves statically: rows kernel at high rates,
+        # transition kernel at low rates — outputs match the resolved kernel.
+        from gpuacceleratedtracking_tpu.ops.pallas_epl import bank_algorithm_for
+
+        system = GPSL1()
+        assert bank_algorithm_for(
+            32768, 32.768e6, 1023, system.code_frequency
+        ) == "pallas_bank_rows"
+        assert bank_algorithm_for(
+            2500, 2.5e6, 1023, system.code_frequency
+        ) == "pallas_bank"
+        for n in (32768, 2500):
+            case = self._random_case(system, n, 3)
+            got = self._run("pallas_bank_auto", **case)
+            want = self._run(bank_algorithm_for(
+                n, n * 1e3, 1023, system.code_frequency), **case)
+            np.testing.assert_array_equal(got[0], want[0])
+
 
 def test_registry_names():
     names = registry.names()
