@@ -4,6 +4,7 @@ from . import cn0, discriminators, loop_filter, secondary
 from .secondary import detect_secondary_offset
 from .state import TrackConfig, TrackOutput, TrackState, init_state
 from .track import loop_update, track, track_bank, track_step
+from .dual import DualTrackOutput, dual_config, track_bank_dual
 
 __all__ = [
     "cn0",

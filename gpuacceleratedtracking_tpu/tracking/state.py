@@ -48,6 +48,9 @@ class TrackConfig:
     # Indexed by the channel's ms_elapsed — align with `init_state`'s
     # ``ms_elapsed`` after secondary-code sync (`tracking.secondary`).
     secondary_code: tuple = ()
+    # PLL discriminator: "costas" (data-tolerant, default) or "atan2"
+    # (full-range four-quadrant, for dataless pilot components).
+    pll_discriminator: str = "costas"
     # Coherent post-integration: accumulate the (overlay-wiped) accumulators
     # over this many consecutive blocks before each discriminator/filter
     # update (the Tracking.jl extended-integration role). Extends coherent

@@ -122,15 +122,27 @@ def loop_update(
         t_coh = jnp.float32(t)
     prompt_re, prompt_im = coh_re[..., pidx], coh_im[..., pidx]
 
-    pll_err = discriminators.pll_costas(prompt_re, prompt_im)
+    pll_disc = (
+        discriminators.pll_atan2
+        if config.pll_discriminator == "atan2"
+        else discriminators.pll_costas
+    )
+    pll_err = pll_disc(prompt_re, prompt_im)
     # Early = most-advanced replica (largest positive sample shift, last tap).
     dll_err = discriminators.dll_emle(
         coh_re[..., -1], coh_im[..., -1], coh_re[..., 0], coh_im[..., 0],
         config.spacing_chips,
     )
     # FLL assist from consecutive (windowed) prompts, zeroed until a previous
-    # window's prompt exists to difference against.
-    fll_err = discriminators.fll_atan2(
+    # window's prompt exists to difference against. Costas configs (data-
+    # bearing component) pair with the data-insensitive atan FLL; atan2
+    # configs (dataless pilot) use the full-range variant.
+    fll_disc = (
+        discriminators.fll_atan2
+        if config.pll_discriminator == "atan2"
+        else discriminators.fll_atan
+    )
+    fll_err = fll_disc(
         state.prev_prompt_re, state.prev_prompt_im, prompt_re, prompt_im,
         t_coh,
     )

@@ -5,10 +5,14 @@
 The reference measures the relative code-phase error the texture unit's 8.8
 fixed-point interpolation grid introduces versus the exact floor/mod replica
 (result: min 0 %, mean 0.03 %, median 0.02 %, max 3.17 %,
-`/root/reference/paper/paper.tex:326-329`). Here the same envelope is measured
-for the fixed-point-NCO replica (`ops.gen_code_replica_quantized`, 8 fractional
-bits) over the same N sweep, reporting the fraction of chips that differ and
-the relative code-phase quantization error.
+`/root/reference/paper/paper.tex:326-329`). Here the same min/mean/median/max
+envelope is measured for the fixed-point-NCO replica
+(`ops.gen_code_replica_quantized`) over the reference's N sweep (2048 ..
+262144), for several fractional-bit widths; the shipped default (12 bits)
+is chosen so the mean beats the reference's 0.03 % with the same op count
+(the quantization is a single scale constant, so speed is bit-independent).
+
+Writes ``data/benchmarks/replica_accuracy.json`` and prints the table.
 """
 
 import json
@@ -22,7 +26,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 import jax
 
 # Accuracy experiment, not a perf run: the CPU backend avoids one tunneled TPU
-# compile per sweep point (the sweep has ~64 distinct shapes).
+# compile per sweep point (the sweep has ~128 distinct shapes).
 jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
@@ -33,55 +37,52 @@ from gpuacceleratedtracking_tpu.ops import (
     gen_code_replica_quantized,
 )
 
+OUT = pathlib.Path(__file__).parent.parent / "data" / "benchmarks"
 
-def run(start=2048, stop=262144, step=4096, phase_bits=8):
+
+def run(start=2048, stop=262144, step=2048, phase_bits=(8, 10, 12)):
     system = GPSL1()
     codes = jnp.asarray(system.codes)
-    rows = []
-    for n in range(start, stop + 1, step):
-        fs = n / 1e-3
-        exact = np.asarray(
-            gen_code_replica(
-                codes, 0, system.code_frequency, fs, 0.25, n, 0, 0,
-                system.code_length,
+    table = {}
+    for bits in phase_bits:
+        mm = []
+        for n in range(start, stop + 1, step):
+            fs = n / 1e-3
+            exact = np.asarray(
+                gen_code_replica(
+                    codes, 0, system.code_frequency, fs, 0.25, n, 0, 0,
+                    system.code_length,
+                )
             )
-        )
-        quant = np.asarray(
-            gen_code_replica_quantized(
-                codes, 0, system.code_frequency, fs, 0.25, n, 0, 0,
-                system.code_length, phase_bits=phase_bits,
+            quant = np.asarray(
+                gen_code_replica_quantized(
+                    codes, 0, system.code_frequency, fs, 0.25, n, 0, 0,
+                    system.code_length, phase_bits=bits,
+                )
             )
-        )
-        mismatch = float(np.mean(exact != quant))
-        # Relative code-phase error of the quantization grid: one LSB of the
-        # fractional phase vs the chips-per-sample step (the reference's
-        # error metric normalizes by code phase per sample).
-        rel_err = 2.0**-phase_bits / (system.code_frequency / fs)
-        rows.append(
-            {
-                "num_samples": n,
-                "chip_mismatch_frac": mismatch,
-                "relative_phase_error": rel_err,
-            }
-        )
-    return rows
+            mm.append(float(np.mean(exact != quant)))
+        pct = np.array(mm) * 100.0
+        table[bits] = {
+            "min_pct": float(pct.min()),
+            "mean_pct": float(pct.mean()),
+            "median_pct": float(np.median(pct)),
+            "max_pct": float(pct.max()),
+        }
+    return table
 
 
 if __name__ == "__main__":
-    rows = run()
-    mm = np.array([r["chip_mismatch_frac"] for r in rows])
-    print(
-        json.dumps(
-            {
-                "min_pct": float(mm.min() * 100),
-                "mean_pct": float(mm.mean() * 100),
-                "median_pct": float(np.median(mm) * 100),
-                "max_pct": float(mm.max() * 100),
-                "reference_envelope_pct": {"mean": 0.03, "max": 3.17},
-            },
-            indent=1,
-        )
-    )
-    out = pathlib.Path(__file__).parent.parent / "data" / "code_replica_experiment.json"
-    out.parent.mkdir(parents=True, exist_ok=True)
-    out.write_text(json.dumps(rows, indent=1))
+    table = run()
+    payload = {
+        "metric": "chip mismatch fraction, quantized vs exact replica (%)",
+        "sweep": "N = 2048:2048:262144, GPS L1 C/A prn 0, phase 0.25 chips",
+        "per_phase_bits": {str(k): v for k, v in table.items()},
+        "reference_texture_envelope_pct": {
+            "min": 0.0, "mean": 0.03, "median": 0.02, "max": 3.17,
+            "source": "/root/reference/paper/paper.tex:326-329",
+        },
+        "shipped_default_bits": 12,
+    }
+    OUT.mkdir(parents=True, exist_ok=True)
+    (OUT / "replica_accuracy.json").write_text(json.dumps(payload, indent=1))
+    print(json.dumps(payload, indent=1))

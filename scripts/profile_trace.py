@@ -4,11 +4,15 @@
 Where the reference wraps kernel launches in NVTX ranges under
 `CUDA.@profile` (`/root/reference/scripts/nsys.jl:100-131`), the TPU path uses
 `jax.profiler.trace` + `jax.profiler.TraceAnnotation`; the output directory is
-loadable in XProf/TensorBoard.
+loadable in XProf/TensorBoard. Defaults to the flagship 1024-channel bank.
+
+    python scripts/profile_trace.py [algorithm] [num_samples] [num_channels]
 """
 
+import json
 import pathlib
 import sys
+import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
@@ -16,6 +20,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gpuacceleratedtracking_tpu.models import (
     GPSL1,
@@ -26,8 +31,10 @@ from gpuacceleratedtracking_tpu.models import (
 )
 from gpuacceleratedtracking_tpu.ops import registry
 
-ALGO = sys.argv[1] if len(sys.argv) > 1 else "pallas_fused"
+ALGO = sys.argv[1] if len(sys.argv) > 1 else "pallas_bank_auto"
 N = int(sys.argv[2]) if len(sys.argv) > 2 else 32768
+K = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
+REPS = 10
 
 if __name__ == "__main__":
     out = pathlib.Path(__file__).parent.parent / "data" / "profile"
@@ -39,18 +46,50 @@ if __name__ == "__main__":
     shifts = tuple(
         int(s) for s in correlator_sample_shifts(system, EPLCorrelator(3), fs)
     )
-    fn = jax.jit(
-        functools.partial(
-            registry.get(ALGO),
-            sample_shifts=shifts,
-            code_length=system.code_length,
+    codes = jnp.asarray(system.codes)
+    if ALGO in registry.BANK_ALGORITHMS:
+        corr = functools.partial(
+            registry.get(ALGO), sample_shifts=shifts,
+            code_length=system.code_length, sampling_frequency=fs,
+            **(
+                {"nominal_code_frequency": system.code_frequency}
+                if ALGO.startswith("pallas_bank")
+                and ALGO != "pallas_bank_onehot"
+                else {}
+            ),
         )
-    )
-    args = (sre, sim, jnp.asarray(system.codes), 0, 1500.0, fs, 0.0,
-            system.code_frequency, 0.0)
-    jax.block_until_ready(fn(*args))  # compile outside the trace
+        kk = jnp.arange(K, dtype=jnp.int32) % codes.shape[1]
+        dops = jnp.linspace(-4000.0, 4000.0, K).astype(jnp.float32)
+        zeros = jnp.zeros(K, jnp.float32)
+        fn = jax.jit(lambda: corr(
+            sre, sim, codes, kk, 1500.0 + dops, carrier_phase=zeros,
+            code_frequency=zeros + system.code_frequency, code_phase=zeros,
+        ))
+        args = ()
+    else:
+        fn = jax.jit(
+            functools.partial(
+                registry.get(ALGO),
+                sample_shifts=shifts,
+                code_length=system.code_length,
+            )
+        )
+        args = (sre, sim, codes, 0, 1500.0, fs, 0.0,
+                system.code_frequency, 0.0)
+
+    np.asarray(fn(*args)[0])  # compile + true fence outside the trace
+    t0 = time.perf_counter()
     with jax.profiler.trace(str(out)):
-        with jax.profiler.TraceAnnotation(f"correlate_{ALGO}"):
-            for _ in range(10):
-                jax.block_until_ready(fn(*args))
-    print(f"trace written to {out}")
+        with jax.profiler.TraceAnnotation(f"correlate_{ALGO}_K{K}_N{N}"):
+            outs = [fn(*args) for _ in range(REPS)]
+            np.asarray(outs[-1][0])
+    wall = time.perf_counter() - t0
+    summary = {
+        "algorithm": ALGO, "num_samples": N, "num_channels": K,
+        "reps": REPS, "wall_s": wall, "per_call_ms": wall / REPS * 1e3,
+        "trace_dir": str(out),
+        "note": "per-call time includes tunneled dispatch; see "
+                "data/benchmarks for differential kernel times",
+    }
+    (out / "summary.json").write_text(json.dumps(summary, indent=1))
+    print(json.dumps(summary))

@@ -196,8 +196,10 @@ class TestQuantizedReplica:
                 )
             )(jnp.asarray(system.codes), 0, system.code_frequency, fs, 0.0)
             rel_errors.append(float(jnp.mean(exact != quant)))
-        assert np.mean(rel_errors) <= 0.0303, rel_errors  # paper's mean bound
-        assert np.max(rel_errors) <= 0.0317, rel_errors   # paper's max bound
+        # The 12-bit fixed-point NCO beats the reference texture path's whole
+        # envelope (mean 0.03 %, max 3.17 %): mean <= 0.01 %, max <= 0.05 %.
+        assert np.mean(rel_errors) <= 1e-4, rel_errors
+        assert np.max(rel_errors) <= 5e-4, rel_errors
 
 
 class TestCoherentIntegration:
