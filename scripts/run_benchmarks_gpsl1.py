@@ -19,7 +19,10 @@ params = {
     "num_samples": [2**e for e in range(11, 19)],
     "num_ants": [1, 4],
     "num_correlators": [3, 7],
-    "algorithm": registry.names(),
+    # Per-channel pipeline family + the two bank kernels at K=1
+    # (the full registry would triple chip time for near-duplicate data).
+    "algorithm": ["fused_xla", "unfused_xla", "pallas_fused",
+                  "pallas_taps", "pallas_bank", "pallas_bank_rows"],
     "processor": "TPU",
     "reps": 8,
     "trials": 5,

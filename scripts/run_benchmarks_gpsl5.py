@@ -17,7 +17,8 @@ params = {
     "num_samples": [2**e for e in range(15, 19)],
     "num_ants": [1, 4],
     "num_correlators": [3, 7],
-    "algorithm": registry.names(),
+    "algorithm": ["fused_xla", "unfused_xla", "pallas_fused",
+                  "pallas_taps", "pallas_bank"],
     "processor": "TPU",
     "reps": 8,
     "trials": 5,

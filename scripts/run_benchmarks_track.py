@@ -24,7 +24,7 @@ params = {
     "num_channels": [32, 256, 1024],
     "num_ants": 1,
     "num_correlators": 3,
-    "algorithm": ["pallas_bank", "xla_bank"],
+    "algorithm": ["pallas_bank_auto", "pallas_bank", "xla_bank"],
     "processor": ["TPU"],
     "blocks": 8,
     "trials": 5,
