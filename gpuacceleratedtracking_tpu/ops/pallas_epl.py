@@ -586,7 +586,7 @@ def _bank_transition_kernel(
     params_ref, base_ref, *refs,
     deltas: tuple, code_length: int, tile_rows: int, num_c: int,
     rho_nom: float, fcar_nom_cyc: float, chans_per_step: int = 1,
-    mm_dtype=jnp.bfloat16, tap_mac: str = "mxu", carrier: str = "hoisted",
+    mm_dtype=jnp.bfloat16, tap_mac: str = "mxu", carrier: str = "hybrid",
     recon: str = "onehot",
 ):
     """One (channel, tile) step of the transition-formulation bank correlator.
@@ -615,6 +615,10 @@ def _bank_transition_kernel(
         (rowcos_ref, rowsin_ref, lanecos_ref, lanesin_ref,
          sre_ref, sim_ref, codecol_ref, outre_ref, outim_ref) = refs
         phasors = (rowcos_ref, rowsin_ref, lanecos_ref, lanesin_ref)
+    elif carrier == "hybrid":
+        (lanecos_ref, lanesin_ref,
+         sre_ref, sim_ref, codecol_ref, outre_ref, outim_ref) = refs
+        phasors = (lanecos_ref, lanesin_ref)
     else:
         sre_ref, sim_ref, codecol_ref, outre_ref, outim_ref = refs
         phasors = None
@@ -804,14 +808,28 @@ def _transition_channel(
         rep = (g_rows + h)[:ext]                                # [ext, 128]
 
     # Carrier wipe-off + tap MAC (the per-sample floor of the pipeline).
-    if phasors is not None:
-        # Hoisted carrier: the per-channel row/lane phasors were computed by
-        # XLA over ALL channels at full (8,128) layout; the in-kernel cost is
-        # just the 6-op complex outer product. In-kernel cos/sin on a
-        # [tile_rows, 1] vector wastes 127/128 lanes of every transcendental.
+    if phasors is not None and len(phasors) == 4:
+        # Fully hoisted carrier (legacy): row phasors ride HBM as
+        # [K, tiles, TR, 1] — NOTE the trailing unit dim makes XLA pad them
+        # 128x ("hybrid" avoids this and is the default).
         rowcos_ref, rowsin_ref, lanecos_ref, lanesin_ref = phasors
         rc = rowcos_ref[g, 0]                                   # [TR, 1]
         rs = rowsin_ref[g, 0]
+        lcos = lanecos_ref[g, 0:1, :]                           # [1, 128]
+        lsin = lanesin_ref[g, 0:1, :]
+        cos = rc * lcos - rs * lsin
+        sin = rs * lcos + rc * lsin
+    elif phasors is not None:
+        # Hybrid: dense hoisted lane phasors + in-kernel row phasors (one
+        # cos/sin over a [TR, 1] column per channel).
+        lanecos_ref, lanesin_ref = phasors
+        row_f = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_rows, 1), 0
+        ).astype(jnp.float32) * jnp.float32(LANES)
+        cyc = f_cyc * row_f + phi_car_tile
+        cyc = cyc - jnp.floor(cyc)
+        theta = jnp.float32(_TWO_PI) * cyc
+        rc, rs = jnp.cos(theta), jnp.sin(theta)                 # [TR, 1]
         lcos = lanecos_ref[g, 0:1, :]                           # [1, 128]
         lsin = lanesin_ref[g, 0:1, :]
         cos = rc * lcos - rs * lsin
@@ -1027,7 +1045,7 @@ def correlate_pallas_bank(
     chans_per_step: int = 1,
     matmul_dtype=jnp.bfloat16,
     tap_mac: str = "mxu",
-    carrier: str = "hoisted",
+    carrier: str = "hybrid",
     recon: str = "onehot",
 ) -> tuple[jax.Array, jax.Array]:
     """Transition-formulation fused EPL bank correlator (flagship kernel).
@@ -1127,6 +1145,8 @@ def correlate_pallas_bank(
         extra_inputs, extra_specs = _hoisted_carrier(
             params, base, num_tiles, tile_rows, fcar_nom_cyc, g
         )
+    elif carrier == "hybrid":
+        extra_inputs, extra_specs = _hoisted_lane_phasors(params, g)
 
     grid_spec = pl.GridSpec(
         grid=(num_kp // g, num_tiles),
