@@ -1363,21 +1363,36 @@ def _bank_rows_kernel(
         ).astype(jnp.float32)
         b_all = jnp.ceil((c_t + j_t - p_t) * inv_t) - n_row  # [e8, (J-1)G]
 
-    def row_phasors(g):
-        """In-kernel per-channel row phasors (cos, sin) over [TR, 1].
+    # In-kernel row phasors for ALL group channels at once: cos/sin run on a
+    # lane-packed [TR, G] tile (one transcendental pass covers the whole
+    # group; per-channel [TR, 1] columns are free slices). Hoisting these
+    # through HBM is ruled out: [*, TR, 1] arrays get padded 128x by XLA's
+    # minor-dim tiling (measured as the dominant kernel cost in round 2).
+    if ablate not in ("no_carrier", "floor"):
+        fc_list, ph_list = [], []
+        for g in range(num_g):
+            ch = k * num_g + g
+            f_cyc = params_ref[ch, 0]
+            fc_list.append(f_cyc)
+            ph_list.append(
+                params_ref[ch, 1] + base_ref[i, 0] + (
+                    f_cyc - jnp.float32(fcar_nom_cyc)
+                ) * n0
+            )
+        fc_v = jnp.concatenate(
+            [jnp.full((1, 1), v, jnp.float32) for v in fc_list], axis=1
+        )                                                 # [1, G]
+        ph_v = jnp.concatenate(
+            [jnp.full((1, 1), v, jnp.float32) for v in ph_list], axis=1
+        )
+        cyc_all = n_row[:tile_rows] * fc_v + ph_v         # [TR, G]
+        cyc_all = cyc_all - jnp.floor(cyc_all)
+        theta_all = jnp.float32(_TWO_PI) * cyc_all
+        rowcos_all = jnp.cos(theta_all)                   # [TR, G]
+        rowsin_all = jnp.sin(theta_all)
 
-        Same f32 phase decomposition as `_hoisted_carrier`; generated here
-        because hoisting [TR, 1]-shaped arrays through HBM pads them 128x.
-        """
-        ch = k * num_g + g
-        f_cyc = params_ref[ch, 0]
-        phi_tile = params_ref[ch, 1] + base_ref[i, 0] + (
-            f_cyc - jnp.float32(fcar_nom_cyc)
-        ) * n0
-        cyc = f_cyc * n_row[:tile_rows] + phi_tile        # [TR, 1]
-        cyc = cyc - jnp.floor(cyc)
-        theta = jnp.float32(_TWO_PI) * cyc
-        return jnp.cos(theta), jnp.sin(theta)
+    def row_phasors(g):
+        return rowcos_all[:, g : g + 1], rowsin_all[:, g : g + 1]
 
     if ablate == "empty":
         # Nothing per channel: isolates grid sequencing + block DMA cost.
