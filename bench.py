@@ -46,12 +46,13 @@ def main():
         gen_signal,
         soa,
     )
-    from gpuacceleratedtracking_tpu.bench.autotune import best_tile_rows
+    from gpuacceleratedtracking_tpu.bench.autotune import best_launch
     from gpuacceleratedtracking_tpu.ops import registry
 
-    tile_rows = TILE_ROWS or best_tile_rows(
-        ALGORITHM, NUM_CHANNELS, NUM_SAMPLES
-    )
+    launch = best_launch(ALGORITHM, NUM_CHANNELS, NUM_SAMPLES)
+    if TILE_ROWS:
+        launch["tile_rows"] = TILE_ROWS
+    tile_rows = launch["tile_rows"]
     system = GPSL1()
     fs = NUM_SAMPLES / 1e-3
     signal, _ = gen_signal(system, 0, 1500.0, NUM_SAMPLES)
@@ -68,18 +69,17 @@ def main():
     zeros = jnp.zeros(NUM_CHANNELS, jnp.float32)
 
     if ALGORITHM.startswith("pallas_bank"):
+        extra = dict(launch)
+        if ALGORITHM == "pallas_bank_onehot":
+            extra = {"tile_rows": tile_rows}
+        else:
+            extra["nominal_code_frequency"] = system.code_frequency
         corr = functools.partial(
             registry.get(ALGORITHM),
             sample_shifts=shifts,
             code_length=system.code_length,
             sampling_frequency=fs,
-            tile_rows=tile_rows,
-            **(
-                {"nominal_code_frequency": system.code_frequency}
-                if ALGORITHM.startswith("pallas_bank")
-                and ALGORITHM != "pallas_bank_onehot"
-                else {}
-            ),
+            **extra,
         )
 
         def call(off):

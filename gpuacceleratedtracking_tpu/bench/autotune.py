@@ -27,7 +27,9 @@ import jax
 import jax.numpy as jnp
 
 DEFAULT_TILE_ROWS = 256
+DEFAULT_CHANS_PER_STEP = 1
 CANDIDATES = (32, 64, 128, 256, 512)
+GROUP_CANDIDATES = (1, 4, 8, 16)
 _CACHE_PATH = pathlib.Path(__file__).resolve().parents[2] / "data" / "autotune.json"
 
 
@@ -65,6 +67,29 @@ def best_tile_rows(
     return int(entry["tile_rows"]) if entry else default
 
 
+def best_launch(
+    algorithm: str,
+    num_channels: int,
+    num_samples: int,
+    num_ants: int = 1,
+    num_taps: int = 3,
+    gnss: str = "GPSL1",
+    cache_path: pathlib.Path = _CACHE_PATH,
+) -> dict:
+    """Cached optimal launch kwargs (tile_rows + chans_per_step)."""
+    key = _cache_key(algorithm, num_channels, num_samples, num_ants, num_taps, gnss)
+    entry = _load_cache(cache_path).get(key)
+    if not entry:
+        return {
+            "tile_rows": DEFAULT_TILE_ROWS,
+            "chans_per_step": DEFAULT_CHANS_PER_STEP,
+        }
+    return {
+        "tile_rows": int(entry["tile_rows"]),
+        "chans_per_step": int(entry.get("chans_per_step", 1)),
+    }
+
+
 def autotune_tile_rows(
     algorithm: str = "pallas_bank",
     num_channels: int = 1024,
@@ -73,6 +98,7 @@ def autotune_tile_rows(
     num_taps: int = 3,
     gnss: str = "GPSL1",
     candidates: Sequence[int] = CANDIDATES,
+    groups: Sequence[int] = GROUP_CANDIDATES,
     reps: tuple[int, int] = (4, 12),
     trials: int = 5,
     cache_path: Optional[pathlib.Path] = _CACHE_PATH,
@@ -103,13 +129,18 @@ def autotune_tile_rows(
     code_freqs = jnp.full((num_channels,), system.code_frequency, jnp.float32)
     zeros = jnp.zeros(num_channels, jnp.float32)
 
-    def measure(tile_rows: int) -> float:
+    bank_family = algorithm in (
+        "pallas_bank", "pallas_bank_rows", "pallas_bank_auto"
+    )
+
+    def measure(tile_rows: int, chans_per_step: int = 1) -> float:
         corr = functools.partial(
             registry.get(algorithm),
             sample_shifts=shifts,
             code_length=system.code_length,
             sampling_frequency=fs,
             tile_rows=tile_rows,
+            **({"chans_per_step": chans_per_step} if bank_family else {}),
             **(
                 {"nominal_code_frequency": system.code_frequency}
                 if algorithm in (
@@ -148,12 +179,24 @@ def autotune_tile_rows(
     results = {}
     for tr in candidates:
         try:
-            results[int(tr)] = measure(int(tr))
+            results[(int(tr), 1)] = measure(int(tr))
         except Exception:   # geometry rejected or compile failure: skip
             continue
     if not results:
         raise RuntimeError("no tile_rows candidate compiled")
-    best_tr = min(results, key=results.get)
+    best_tr, _ = min(results, key=results.get)
+    # Second pass: channel-group batching at the winning tile shape (the
+    # bank kernels share per-group work — boundary math, row phasors —
+    # across the G channels of a grid step).
+    if bank_family and num_channels > 1:
+        for g in groups:
+            if g == 1 or num_channels % g:
+                continue
+            try:
+                results[(best_tr, int(g))] = measure(best_tr, int(g))
+            except Exception:
+                continue
+    best_tr, best_g = min(results, key=results.get)
 
     if cache_path is not None:
         cache = _load_cache(cache_path)
@@ -162,8 +205,9 @@ def autotune_tile_rows(
         )
         cache[key] = {
             "tile_rows": best_tr,
-            "block_time_s": results[best_tr],
-            "all": {str(k): v for k, v in sorted(results.items())},
+            "chans_per_step": best_g,
+            "block_time_s": results[(best_tr, best_g)],
+            "all": {f"{k[0]}x{k[1]}": v for k, v in sorted(results.items())},
         }
         cache_path.parent.mkdir(parents=True, exist_ok=True)
         cache_path.write_text(json.dumps(cache, indent=1, sort_keys=True))

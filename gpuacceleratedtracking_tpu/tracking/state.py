@@ -39,10 +39,13 @@ class TrackConfig:
     fll_bandwidth: float = 4.0   # 0 disables the FLL assist
     cn0_window: int = 20
     algorithm: str = "fused_xla"
-    # Time-tile shape for the Pallas bank kernels (None = kernel default).
+    # Launch shape for the Pallas bank kernels (None = kernel default).
     # Tune per scenario with `bench.autotune.autotune_tile_rows` — the
     # occupancy launch_configuration analog.
     tile_rows: Optional[int] = None
+    # Channels per bank-kernel grid step (group-shared boundary math and row
+    # phasors); None = kernel default.
+    chans_per_step: Optional[int] = None
     # Secondary (overlay) code wipe-off: +/-1 signs, one per integration
     # block (e.g. L5 Neuman-Hofman, one sign per 1 ms primary period).
     # Indexed by the channel's ms_elapsed — align with `init_state`'s

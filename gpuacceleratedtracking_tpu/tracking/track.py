@@ -271,8 +271,14 @@ def _bank_kernel_kwargs(config: TrackConfig) -> dict:
     ):
         kwargs["nominal_code_frequency"] = config.code_frequency
         kwargs["nominal_carrier_frequency"] = config.intermediate_frequency
-    if config.tile_rows is not None and config.algorithm.startswith("pallas_bank"):
-        kwargs["tile_rows"] = config.tile_rows
+    if config.algorithm.startswith("pallas_bank"):
+        if config.tile_rows is not None:
+            kwargs["tile_rows"] = config.tile_rows
+        if (
+            config.chans_per_step is not None
+            and config.algorithm != "pallas_bank_onehot"
+        ):
+            kwargs["chans_per_step"] = config.chans_per_step
     return kwargs
 
 
