@@ -1471,50 +1471,6 @@ def _bank_rows_kernel(
             outim_ref[g] += acc
             continue
 
-        if tap_mac == "diag":
-            # MXU-diagonal MAC: acc[δ] = Σ_{r,b} dw[r,b]·rep[r, b+δ] with the
-            # row-carry split. Compute M = dwᵀ @ rep (and M' against the
-            # next-row rep) — the multiply AND the 256-row reduction ride the
-            # MXU — then each tap's sum is one (constant-mask) diagonal of M:
-            #   acc[δ] = Σ_b M[b, b+δ]           (b <  128-δ)
-            #          + Σ_b M'[b, b+δ-128]      (b >= 128-δ)
-            # The per-tap totals are two more MXU passes (ones-matmuls), so
-            # the VPU does only 2 mask ops per (tap, plane) — replacing the
-            # elementwise product + full reduction of the sum2d path.
-            rep_m = rep[: tile_rows]                              # [TR, 128]
-            rep_n = pltpu.roll(rep, e8 - 1, axis=0)[: tile_rows]  # rows +1
-            ones8 = jnp.ones((LANES, 8), jnp.float32)
-            lane_c = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
-            lane_r = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
-            for a in range(num_ants):
-                mats = {}
-                for nm, dw in (("re", dw_re), ("im", dw_im)):
-                    dwa = dw[a]                                   # [TR, 128]
-                    for sfx, rhs in (("", rep_m), ("n", rep_n)):
-                        mats[nm + sfx] = jax.lax.dot_general(
-                            dwa, rhs, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )                                         # [128, 128]
-                for l, delta in enumerate(deltas):
-                    sel_m = (lane_c - lane_r == delta)
-                    sel_c = (lane_r - lane_c == LANES - delta)
-                    for nm, ref in (("re", outre_ref), ("im", outim_ref)):
-                        w = jnp.where(sel_m, mats[nm], 0.0) + (
-                            jnp.where(sel_c, mats[nm + "n"], 0.0)
-                            if delta
-                            else 0.0
-                        )
-                        s8 = jax.lax.dot_general(
-                            w, ones8, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )                                         # [128, 8]
-                        tot = jax.lax.dot_general(
-                            ones8, s8, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )                                         # [8, 8]
-                        ref[g, a : a + 1, l : l + 1] += tot[0:1, 0:1]
-            continue
-
         if tap_mac == "mxu":
             # One [A, T] x [L, T] contraction. NOTE: the T-axis accumulation
             # is a serial chain of T/128 MXU passes with a tiny [A, L] output
@@ -1534,28 +1490,6 @@ def _bank_rows_kernel(
             )
             outre_ref[g] += acc_re
             outim_ref[g] += acc_im
-            continue
-
-        if tap_mac == "mxsum":
-            # VPU product, MXU reduction: prod @ ones sums lanes (natural
-            # lane contraction), ones^T @ (…) sums rows — no transposed
-            # matmuls, no flat-[1, T] reductions.
-            ones_l = jnp.ones((LANES, 8), jnp.float32)
-            ones_r = jnp.ones((8, tile_rows), jnp.float32)
-            for l, delta in enumerate(deltas):
-                tap = _flat_shift(rep, delta)[:tile_rows]         # [TR, 128]
-                for a in range(num_ants):
-                    for dw, ref in ((dw_re, outre_ref), (dw_im, outim_ref)):
-                        prod = dw[a] * tap                        # [TR, 128]
-                        s1 = jax.lax.dot_general(
-                            prod, ones_l, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )                                         # [TR, 8]
-                        tot = jax.lax.dot_general(
-                            ones_r, s1, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )                                         # [8, 8]
-                        ref[g, a : a + 1, l : l + 1] += tot[0:1, 0:1]
             continue
 
         # "sum2d": per-tap elementwise product reduced in native [R, 128]
