@@ -14,6 +14,10 @@ params = {
     "num_correlators": 3,
     "algorithm": ["pure", "cplx", "cplx_multi"],
     "processor": ["TPU"],
+    # micro-kernels are ~us-scale: deep unrolls lift the
+    # differential estimate above the tunnel noise floor
+    "reps": 96,
+    "trials": 7,
 }
 
 if __name__ == "__main__":

@@ -14,6 +14,10 @@ params = {
     "num_samples": [2**e for e in range(11, 19)],
     "algorithm": ["exact", "quantized"],
     "processor": ["TPU"],
+    # micro-kernels are ~us-scale: deep unrolls lift the
+    # differential estimate above the tunnel noise floor
+    "reps": 48,
+    "trials": 7,
 }
 
 if __name__ == "__main__":
