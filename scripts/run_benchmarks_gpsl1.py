@@ -22,16 +22,17 @@ params = {
     # Per-channel pipeline family + the two bank kernels at K=1
     # (the full registry would triple chip time for near-duplicate data).
     "algorithm": ["fused_xla", "unfused_xla", "pallas_fused",
-                  "pallas_taps", "pallas_bank", "pallas_bank_rows"],
+                  "pallas_taps"],
     "processor": "TPU",
     "reps": 8,
-    "trials": 5,
+    "trials": 3,
 }
 
 # The CPU (XLA-CPU) baseline plays the reference's LoopVectorization SIMD
 # role (`/root/reference/src/benchmarks.jl:35-80`) — XLA paths only (Pallas
 # interpret mode is a correctness tool, not a CPU performance path).
-cpu_params = dict(params, processor="CPU", algorithm=["fused_xla", "unfused_xla"])
+cpu_params = dict(params, processor="CPU", reps=4, trials=5,
+                  algorithm=["fused_xla", "unfused_xla"])
 
 if __name__ == "__main__":
     out = pathlib.Path(__file__).parent.parent / "data" / "benchmarks" / "kernel"

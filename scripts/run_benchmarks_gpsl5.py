@@ -18,13 +18,14 @@ params = {
     "num_ants": [1, 4],
     "num_correlators": [3, 7],
     "algorithm": ["fused_xla", "unfused_xla", "pallas_fused",
-                  "pallas_taps", "pallas_bank"],
+                  "pallas_taps"],
     "processor": "TPU",
     "reps": 8,
-    "trials": 5,
+    "trials": 3,
 }
 
-cpu_params = dict(params, processor="CPU", algorithm=["fused_xla", "unfused_xla"])
+cpu_params = dict(params, processor="CPU", reps=4, trials=5,
+                  algorithm=["fused_xla", "unfused_xla"])
 
 if __name__ == "__main__":
     out = pathlib.Path(__file__).parent.parent / "data" / "benchmarks" / "kernel"
