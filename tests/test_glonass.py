@@ -141,3 +141,40 @@ class TestCorrelation:
             np.testing.assert_allclose(got[k], want, rtol=1e-3, atol=1.0)
             # Each channel's prompt sees its own satellite at full power.
             assert got[k, 1].real > 0.9 * N
+
+    def test_fdma_rows_kernel(self):
+        # GLONASS L1OF through the per-row bank kernel (0.511 Mchip/s at
+        # 8.192 MHz: ~8 chips per 128-lane row).
+        system = GLONASSL1()
+        N, K = 8192, 3
+        fs = N / 1e-3
+        fcars = np.array([-2000.0, 1000.0, 4000.0])
+        sigs = [np.asarray(gen_signal(system, 0, f, N)[0]) for f in fcars]
+        mixed = np.sum(sigs, axis=0)
+        shifts = tuple(
+            int(s)
+            for s in correlator_sample_shifts(system, EPLCorrelator(3), fs)
+        )
+        bank = jax.jit(
+            functools.partial(
+                get_algorithm("pallas_bank_rows"),
+                sample_shifts=shifts,
+                code_length=system.code_length,
+                sampling_frequency=fs,
+                nominal_code_frequency=system.code_frequency,
+            )
+        )
+        are, aim = bank(
+            jnp.asarray(mixed.real, jnp.float32),
+            jnp.asarray(mixed.imag, jnp.float32),
+            jnp.asarray(system.codes), jnp.zeros(K, jnp.int32),
+            jnp.asarray(fcars, jnp.float32),
+            carrier_phase=jnp.zeros(K, jnp.float32),
+            code_frequency=jnp.full((K,), system.code_frequency, jnp.float32),
+            code_phase=jnp.zeros(K, jnp.float32),
+        )
+        got = np.asarray(are) + 1j * np.asarray(aim)
+        for k in range(K):
+            want = _oracle(system, 0, fcars[k], fs, mixed, shifts)
+            np.testing.assert_allclose(got[k], want, rtol=1e-3, atol=1.5)
+            assert got[k, 1].real > 0.9 * N
