@@ -52,7 +52,10 @@ def plot_kernel_benchmarks(df, out_path: str, title: Optional[str] = None):
         for algo, grp in panel.groupby("algorithm"):
             grp = grp.sort_values("num_samples")
             fs_mhz = grp.num_samples / 1e3  # N per 1 ms -> kHz -> MHz
-            ax.loglog(fs_mhz, grp.Minimum, marker="o", ms=3, label=algo)
+            # Median (differential minima can clamp to 0 through the tunnel);
+            # clip to the measurement floor so log scale stays drawable.
+            t = grp.Median.clip(lower=2e-6)
+            ax.loglog(fs_mhz, t, marker="o", ms=3, label=algo)
         ax.axhline(REALTIME_BOUND_S, color="k", ls="--", lw=1, label="real-time")
         ax.set_title(f"{gnss}  M={ants}  L={corrs}", fontsize=10)
         ax.set_xlabel("sampling rate [MHz]")
@@ -82,11 +85,12 @@ def plot_reduction_benchmark(df, out_path: str):
     for i, algo in enumerate(algos):
         grp = (
             df[df.algorithm == algo]
-            .groupby("num_samples")["Minimum"]
+            .groupby("num_samples")["Median"]
             .min()
             .reindex(sizes)
         )
-        ax.bar(x + i * width, grp.values * 1e6, width, label=algo)
+        ax.bar(x + i * width, grp.clip(lower=2e-6).values * 1e6, width,
+               label=algo)
     ax.set_xticks(x + width * (len(algos) - 1) / 2)
     ax.set_xticklabels([f"2^{int(np.log2(s))}" for s in sizes])
     ax.set_xlabel("num samples")
@@ -108,13 +112,37 @@ def plot_replica_benchmark(df, out_path: str):
     for algo, grp in df.groupby("algorithm"):
         grp = grp.sort_values("num_samples")
         ax.loglog(
-            grp.num_samples / 1e3, grp.Minimum, marker="o", ms=3, label=algo
+            grp.num_samples / 1e3, grp.Median.clip(lower=2e-6),
+            marker="o", ms=3, label=algo,
         )
     ax.axhline(REALTIME_BOUND_S, color="k", ls="--", lw=1, label="real-time")
     ax.set_xlabel("sampling rate [MHz]")
     ax.set_ylabel("replica generation time [s]")
     ax.grid(True, which="both", alpha=0.3)
     ax.legend()
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
+def plot_track_benchmark(df, out_path: str):
+    """Closed-loop bank: ms/block vs channel count per algorithm and rate,
+    with the 1 ms real-time bound (no reference analog — its track benchmark
+    is a dead export, `/root/reference/src/GPUAcceleratedTracking.jl:102`)."""
+    plt = _mpl()
+    fig, ax = plt.subplots(figsize=(7, 4.2))
+    for (algo, n), grp in df.groupby(["algorithm", "num_samples"]):
+        grp = grp.sort_values("num_channels")
+        ax.loglog(
+            grp.num_channels, grp.Median.clip(lower=2e-6),
+            marker="o", ms=4, label=f"{algo} @ {n / 1e3:g} MHz",
+        )
+    ax.axhline(REALTIME_BOUND_S, color="k", ls="--", lw=1, label="real-time")
+    ax.set_xlabel("channels K")
+    ax.set_ylabel("closed-loop time per 1 ms block [s]")
+    ax.grid(True, which="both", alpha=0.3)
+    ax.legend(fontsize=7)
     fig.tight_layout()
     fig.savefig(out_path, dpi=150)
     plt.close(fig)

@@ -12,11 +12,12 @@ from gpuacceleratedtracking_tpu.bench.plots import (
     plot_kernel_benchmarks,
     plot_reduction_benchmark,
     plot_replica_benchmark,
+    plot_track_benchmark,
 )
 
 if __name__ == "__main__":
     root = pathlib.Path(__file__).parent.parent
-    figs = root / "data" / "figures"
+    figs = root / "img"
     figs.mkdir(parents=True, exist_ok=True)
     kernel_dir = root / "data" / "benchmarks" / "kernel"
     if any(kernel_dir.glob("*.json")):
@@ -30,3 +31,7 @@ if __name__ == "__main__":
     if any(rep_dir.glob("*.json")):
         df = collect_results(rep_dir)
         print(plot_replica_benchmark(df, str(figs / "replica_benchmarks.png")))
+    trk_dir = root / "data" / "benchmarks" / "track"
+    if any(trk_dir.glob("*.json")):
+        df = collect_results(trk_dir)
+        print(plot_track_benchmark(df, str(figs / "track_benchmarks.png")))
