@@ -23,7 +23,7 @@ def _kernel_frame():
                         "num_correlators": 3,
                         "num_samples": n,
                         "algorithm": algo,
-                        "Minimum": 1e-6 * n / 2048 * (1 if algo.startswith("p") else 3),
+                        "Median": 1e-6 * n / 2048 * (1 if algo.startswith("p") else 3),
                     }
                 )
     return pd.DataFrame(rows)
@@ -41,7 +41,7 @@ def test_reduction_figure(tmp_path):
         {
             "algorithm": ["pure", "cplx", "cplx_multi"] * 2,
             "num_samples": [2048] * 3 + [4096] * 3,
-            "Minimum": [6e-5, 7e-6, 1e-6, 1.2e-4, 1.4e-5, 2e-6],
+            "Median": [6e-5, 7e-6, 1e-6, 1.2e-4, 1.4e-5, 2e-6],
         }
     )
     plot_reduction_benchmark(df, str(tmp_path / "red.png"))
@@ -53,7 +53,7 @@ def test_replica_figure(tmp_path):
         {
             "algorithm": ["exact"] * 3 + ["quantized"] * 3,
             "num_samples": [2048, 8192, 32768] * 2,
-            "Minimum": [1e-4, 1.5e-4, 1.8e-4, 0.8e-4, 1.2e-4, 1.5e-4],
+            "Median": [1e-4, 1.5e-4, 1.8e-4, 0.8e-4, 1.2e-4, 1.5e-4],
         }
     )
     plot_replica_benchmark(df, str(tmp_path / "rep.png"))
