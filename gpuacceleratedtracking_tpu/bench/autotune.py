@@ -29,7 +29,10 @@ import jax.numpy as jnp
 DEFAULT_TILE_ROWS = 256
 DEFAULT_CHANS_PER_STEP = 1
 CANDIDATES = (32, 64, 128, 256, 512)
-GROUP_CANDIDATES = (1, 4, 8, 16)
+GROUP_CANDIDATES = (1, 4, 8, 16, 32)
+_BANK_FAMILY = (
+    "pallas_bank", "pallas_bank_rows", "pallas_bank_comp", "pallas_bank_auto",
+)
 _CACHE_PATH = pathlib.Path(__file__).resolve().parents[2] / "data" / "autotune.json"
 
 
@@ -84,6 +87,13 @@ def best_launch(
             "tile_rows": DEFAULT_TILE_ROWS,
             "chans_per_step": DEFAULT_CHANS_PER_STEP,
         }
+    # A cached optimum "selected" on a clamped-to-zero measurement is noise,
+    # not a tuning result (tunneled differential pairs can clamp to 0 when
+    # the unroll depth is too shallow for the jitter) — refuse to trust it.
+    assert float(entry.get("block_time_s", 1.0)) > 0.0, (
+        f"autotune cache entry {key} has block_time_s <= 0 (noise-floored "
+        "measurement); re-tune with a deeper unroll"
+    )
     return {
         "tile_rows": int(entry["tile_rows"]),
         "chans_per_step": int(entry.get("chans_per_step", 1)),
@@ -100,15 +110,17 @@ def autotune_tile_rows(
     candidates: Sequence[int] = CANDIDATES,
     groups: Sequence[int] = GROUP_CANDIDATES,
     reps: tuple[int, int] = (4, 12),
-    trials: int = 5,
+    trials: int = 7,
     cache_path: Optional[pathlib.Path] = _CACHE_PATH,
 ) -> int:
     """Measure block time per candidate tile shape; persist and return the best.
 
     Timing is differential (two unroll depths, slope estimator) so fixed
     dispatch cost cancels — see `bench.timing.benchmark_differential` for the
-    rationale. Candidates whose geometry the kernel rejects (e.g. a tap span
-    or chip rate out of range) are skipped.
+    rationale; the estimate per candidate is the MEDIAN of the positive
+    differential samples (a min can clamp to 0 through tunnel jitter and
+    elect a noise shape as "optimal"). Candidates whose geometry the kernel
+    rejects (e.g. a tap span or chip rate out of range) are skipped.
     """
     from ..models import (
         EPLCorrelator, correlator_sample_shifts, gen_signal, get_system, soa,
@@ -129,9 +141,7 @@ def autotune_tile_rows(
     code_freqs = jnp.full((num_channels,), system.code_frequency, jnp.float32)
     zeros = jnp.zeros(num_channels, jnp.float32)
 
-    bank_family = algorithm in (
-        "pallas_bank", "pallas_bank_rows", "pallas_bank_auto"
-    )
+    bank_family = algorithm in _BANK_FAMILY
 
     def measure(tile_rows: int, chans_per_step: int = 1) -> float:
         corr = functools.partial(
@@ -143,9 +153,7 @@ def autotune_tile_rows(
             **({"chans_per_step": chans_per_step} if bank_family else {}),
             **(
                 {"nominal_code_frequency": system.code_frequency}
-                if algorithm in (
-                    "pallas_bank", "pallas_bank_rows", "pallas_bank_auto"
-                )
+                if algorithm in _BANK_FAMILY
                 else {}
             ),
         )
@@ -169,12 +177,17 @@ def autotune_tile_rows(
         f2, a2 = make(reps[1])
         np.asarray(f1(*a1))
         np.asarray(f2(*a2))
-        best = float("inf")
+        samples = []
         for _ in range(trials):
             t0 = time.perf_counter(); np.asarray(f1(*a1)); t1 = time.perf_counter() - t0
             t0 = time.perf_counter(); np.asarray(f2(*a2)); t2 = time.perf_counter() - t0
-            best = min(best, max(t2 - t1, 0.0) / (reps[1] - reps[0]))
-        return best
+            d = (t2 - t1) / (reps[1] - reps[0])
+            if d > 0.0:
+                samples.append(d)
+        if not samples:
+            return float("inf")        # pure noise — never elect this shape
+        samples.sort()
+        return samples[len(samples) // 2]
 
     results = {}
     for tr in candidates:
@@ -182,8 +195,9 @@ def autotune_tile_rows(
             results[(int(tr), 1)] = measure(int(tr))
         except Exception:   # geometry rejected or compile failure: skip
             continue
+    results = {k: v for k, v in results.items() if v != float("inf")}
     if not results:
-        raise RuntimeError("no tile_rows candidate compiled")
+        raise RuntimeError("no tile_rows candidate compiled and measured > 0")
     best_tr, _ = min(results, key=results.get)
     # Second pass: channel-group batching at the winning tile shape (the
     # bank kernels share per-group work — boundary math, row phasors —
@@ -193,9 +207,11 @@ def autotune_tile_rows(
             if g == 1 or num_channels % g:
                 continue
             try:
-                results[(best_tr, int(g))] = measure(best_tr, int(g))
+                t = measure(best_tr, int(g))
             except Exception:
                 continue
+            if t != float("inf"):
+                results[(best_tr, int(g))] = t
     best_tr, best_g = min(results, key=results.get)
 
     if cache_path is not None:

@@ -78,7 +78,15 @@ def run_kernel_benchmark(config: dict) -> dict:
     num_correlators = int(config.get("num_correlators", 3))
     algorithm = config.get("algorithm", "fused_xla")
     processor = config.get("processor", "TPU")
-    reps = int(config.get("reps", 20))
+    reps = config.get("reps", 20)
+    if reps == "auto":
+        # Scale the unroll depth inversely with N so each timed call does
+        # >= ~2 ms of device work: trials=3/reps=8 left 0-us medians across
+        # the small-N third of the round-2 sweep (tunnel jitter ~ms-scale
+        # cannot resolve 30-100 us of work). Capped at 256 to bound the
+        # unrolled-XLA compile cost of the 2x-depth twin.
+        reps = int(min(256, max(8, (1 << 22) // num_samples)))
+    reps = int(reps)
     trials = int(config.get("trials", 7))
 
     fs = num_samples / 1e-3

@@ -1262,6 +1262,140 @@ def prepare_bank_code_tiles_rows(
     return codecol.reshape(prn.shape[0], crt, LANES)
 
 
+def _group_lanes_vec(vals) -> jax.Array:
+    """Pack per-channel scalars into a lane vector ``[1, G]``."""
+    return jnp.concatenate(
+        [jnp.full((1, 1), v, jnp.float32) for v in vals], axis=1
+    )
+
+
+def _row_chip_setup(
+    params_ref, base_ref, k, i, n0, n_row, *, num_g: int, num_j: int,
+    crt: int, lc, rho_nom: float,
+):
+    """Lane-packed per-row chip indices + boundary lanes for a channel group.
+
+    Shared by the rows and composite bank kernels. Per-channel scalars ride
+    the scalar unit; all row/boundary vectors are lane-packed so the vector
+    cost amortizes over the group: returns ``(q_all, l_all, b_all)`` — the
+    ``[e8, G]`` row/lane digits of each row's first chip and the
+    ``[e8, (J-1)*G]`` in-row boundary lanes (j-major blocks) where chip
+    ``c_r + j`` begins (exact ceil arithmetic, the TPU re-derivation of the
+    reference's texture wrap + nearest-neighbour fetch,
+    `/root/reference/src/algorithms.jl:72`).
+    """
+    p_list, rho_list, inv_list = [], [], []
+    for g in range(num_g):
+        ch = k * num_g + g
+        rho_s = params_ref[ch, 2]
+        p_s = (
+            params_ref[ch, 3]
+            + base_ref[i, 1]
+            + (rho_s - jnp.float32(rho_nom)) * n0
+        )
+        p_s = p_s - lc * jnp.floor(p_s / lc)          # [0, Lc) scalar
+        p_list.append(p_s)
+        rho_list.append(rho_s)
+        inv_list.append(1.0 / rho_s)
+
+    p_v = _group_lanes_vec(p_list)                    # [1, G]
+    rho_v = _group_lanes_vec(rho_list)
+    inv_v = _group_lanes_vec(inv_list)
+    c_all = jnp.floor(n_row * rho_v + p_v)            # [e8, G] f32
+    ci_all = jnp.minimum(
+        c_all.astype(jnp.int32), jnp.int32((crt - 1) * LANES - 1)
+    )
+    q_all = jax.lax.div(ci_all, LANES)                # [e8, G]
+    l_all = jax.lax.rem(ci_all, LANES)
+    nj1 = num_j - 1
+    c_t = pltpu.repeat(c_all, nj1, axis=1)            # [e8, (J-1)G]
+    p_t = pltpu.repeat(p_v, nj1, axis=1)
+    inv_t = pltpu.repeat(inv_v, nj1, axis=1)
+    j_t = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, nj1 * num_g), 1)
+        // num_g
+        + 1
+    ).astype(jnp.float32)
+    b_all = jnp.ceil((c_t + j_t - p_t) * inv_t) - n_row  # [e8, (J-1)G]
+    return q_all, l_all, b_all
+
+
+def _group_row_phasors(
+    params_ref, base_ref, k, i, n0, n_row, *, num_g: int,
+    fcar_nom_cyc: float, rows: int,
+):
+    """In-kernel carrier row phasors for a channel group: ``[rows, G]``
+    cos/sin, one transcendental pass covering the whole group. Hoisting
+    through HBM is ruled out: ``[*, TR, 1]`` arrays get padded 128x by XLA's
+    minor-dim tiling (measured as the dominant kernel cost in round 2)."""
+    fc_list, ph_list = [], []
+    for g in range(num_g):
+        ch = k * num_g + g
+        f_cyc = params_ref[ch, 0]
+        fc_list.append(f_cyc)
+        ph_list.append(
+            params_ref[ch, 1] + base_ref[i, 0] + (
+                f_cyc - jnp.float32(fcar_nom_cyc)
+            ) * n0
+        )
+    fc_v = _group_lanes_vec(fc_list)                  # [1, G]
+    ph_v = _group_lanes_vec(ph_list)
+    cyc_all = n_row[:rows] * fc_v + ph_v              # [rows, G]
+    cyc_all = cyc_all - jnp.floor(cyc_all)
+    theta_all = jnp.float32(_TWO_PI) * cyc_all
+    return jnp.cos(theta_all), jnp.sin(theta_all)
+
+
+def _row_replica(
+    codecol_ref, g, q_all, l_all, b_all, lane_i, lane_f, qio, *,
+    num_g: int, num_j: int, crt: int, e8: int, mm_dtype,
+) -> jax.Array:
+    """Per-row boundary replica of one group channel: ``[e8, 128]`` f32.
+
+    Two-level one-hot gather of chips ``c_r .. c_r + J-1`` per row: lane
+    digit via one MXU matmul against J statically-shifted code planes, row
+    digit via a ``[e8, crt]`` compare-mask + a second (constant) matmul that
+    also folds the j-differencing: column 0 of ``vsdv`` = V_0, column j =
+    V_j - V_{j-1}; then J-1 boundary compare-adds on the VPU.
+    """
+    onehot = (l_all[:, g : g + 1] == lane_i).astype(mm_dtype)
+    code2d = codecol_ref[g]                               # [crt, 128]
+    planes = [code2d] + [
+        _flat_shift(code2d, j) for j in range(1, num_j)
+    ]
+    stack = jnp.concatenate(planes, axis=0).astype(mm_dtype)
+    gath = jax.lax.dot_general(
+        onehot, stack, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                     # [e8, J*crt]
+    qmask = (qio == q_all[:, g : g + 1]).astype(mm_dtype)
+    masked = gath.astype(mm_dtype) * pltpu.repeat(
+        qmask, num_j, axis=1
+    )                                                     # [e8, J*crt]
+    ncol = (num_j + 7) // 8 * 8
+    blk = (
+        jax.lax.broadcasted_iota(jnp.int32, (num_j * crt, ncol), 0)
+        // crt
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, (num_j * crt, ncol), 1)
+    diff = ((blk == col).astype(mm_dtype)
+            - (blk + 1 == col).astype(mm_dtype))
+    vsdv = jax.lax.dot_general(
+        masked, diff, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                 # [e8, ncol] f32
+    # Per-row boundary reconstruction in f32 (this Mosaic target has
+    # no bf16 vector compare, and an f32 mask selecting bf16 values
+    # trips an i1-relayout bug).
+    rep = jnp.broadcast_to(vsdv[:, 0:1], (e8, LANES))
+    for j in range(1, num_j):
+        bj = b_all[:, (j - 1) * num_g + g : (j - 1) * num_g + g + 1]
+        rep = rep + jnp.where(
+            lane_f >= bj, vsdv[:, j : j + 1], 0.0
+        )
+    return rep
+
+
 def _bank_rows_kernel(
     params_ref, base_ref, lanecos_ref, lanesin_ref,
     sre_ref, sim_ref, codecol_ref, outre_ref, outim_ref,
@@ -1322,74 +1456,19 @@ def _bank_rows_kernel(
     # indices and [e8, (J-1)*G] boundaries (j-major blocks), so the vector
     # cost is amortized over the whole channel group.
     if ablate not in ("const_replica", "floor"):
-        p_list, rho_list, inv_list = [], [], []
-        for g in range(num_g):
-            ch = k * num_g + g
-            rho_s = params_ref[ch, 2]
-            p_s = (
-                params_ref[ch, 3]
-                + base_ref[i, 1]
-                + (rho_s - jnp.float32(rho_nom)) * n0
-            )
-            p_s = p_s - lc * jnp.floor(p_s / lc)          # [0, Lc) scalar
-            p_list.append(p_s)
-            rho_list.append(rho_s)
-            inv_list.append(1.0 / rho_s)
-
-        def lanes_vec(vals):
-            return jnp.concatenate(
-                [jnp.full((1, 1), v, jnp.float32) for v in vals], axis=1
-            )                                             # [1, G]
-
-        p_v = lanes_vec(p_list)
-        rho_v = lanes_vec(rho_list)
-        inv_v = lanes_vec(inv_list)
-        c_all = jnp.floor(n_row * rho_v + p_v)            # [e8, G] f32
-        ci_all = jnp.minimum(
-            c_all.astype(jnp.int32), jnp.int32((crt - 1) * LANES - 1)
+        q_all, l_all, b_all = _row_chip_setup(
+            params_ref, base_ref, k, i, n0, n_row, num_g=num_g,
+            num_j=num_j, crt=crt, lc=lc, rho_nom=rho_nom,
         )
-        q_all = jax.lax.div(ci_all, LANES)                # [e8, G]
-        l_all = jax.lax.rem(ci_all, LANES)
-        # Boundary lanes for all (j, g): in-row sample where chip c_r + j
-        # starts (exact ceil arithmetic, cf. _transition_channel's bounds()).
-        nj1 = num_j - 1
-        c_t = pltpu.repeat(c_all, nj1, axis=1)            # [e8, (J-1)G]
-        p_t = pltpu.repeat(p_v, nj1, axis=1)
-        inv_t = pltpu.repeat(inv_v, nj1, axis=1)
-        j_t = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, nj1 * num_g), 1)
-            // num_g
-            + 1
-        ).astype(jnp.float32)
-        b_all = jnp.ceil((c_t + j_t - p_t) * inv_t) - n_row  # [e8, (J-1)G]
 
     # In-kernel row phasors for ALL group channels at once: cos/sin run on a
     # lane-packed [TR, G] tile (one transcendental pass covers the whole
-    # group; per-channel [TR, 1] columns are free slices). Hoisting these
-    # through HBM is ruled out: [*, TR, 1] arrays get padded 128x by XLA's
-    # minor-dim tiling (measured as the dominant kernel cost in round 2).
+    # group; per-channel [TR, 1] columns are free slices).
     if ablate not in ("no_carrier", "floor"):
-        fc_list, ph_list = [], []
-        for g in range(num_g):
-            ch = k * num_g + g
-            f_cyc = params_ref[ch, 0]
-            fc_list.append(f_cyc)
-            ph_list.append(
-                params_ref[ch, 1] + base_ref[i, 0] + (
-                    f_cyc - jnp.float32(fcar_nom_cyc)
-                ) * n0
-            )
-        fc_v = jnp.concatenate(
-            [jnp.full((1, 1), v, jnp.float32) for v in fc_list], axis=1
-        )                                                 # [1, G]
-        ph_v = jnp.concatenate(
-            [jnp.full((1, 1), v, jnp.float32) for v in ph_list], axis=1
-        )
-        cyc_all = n_row[:tile_rows] * fc_v + ph_v         # [TR, G]
-        cyc_all = cyc_all - jnp.floor(cyc_all)
-        theta_all = jnp.float32(_TWO_PI) * cyc_all
-        rowcos_all = jnp.cos(theta_all)                   # [TR, G]
-        rowsin_all = jnp.sin(theta_all)
+        rowcos_all, rowsin_all = _group_row_phasors(
+            params_ref, base_ref, k, i, n0, n_row, num_g=num_g,
+            fcar_nom_cyc=fcar_nom_cyc, rows=tile_rows,
+        )                                                 # [TR, G]
 
     def row_phasors(g):
         return rowcos_all[:, g : g + 1], rowsin_all[:, g : g + 1]
@@ -1409,46 +1488,10 @@ def _bank_rows_kernel(
         if ablate in ("const_replica", "floor"):
             rep = jnp.broadcast_to(codecol_ref[g][0:1, :], (e8, LANES))
         else:
-            # Two-level one-hot gather of chips c_r .. c_r + J-1 per row: lane
-            # digit via one MXU matmul against J statically-shifted code
-            # planes, row digit via a [e8, crt] compare-mask + a second
-            # (constant) matmul that also folds the j-differencing:
-            # column 0 of vsdv = V_0, column j = V_j - V_{j-1}.
-            onehot = (l_all[:, g : g + 1] == lane_i).astype(mm_dtype)
-            code2d = codecol_ref[g]                               # [crt, 128]
-            planes = [code2d] + [
-                _flat_shift(code2d, j) for j in range(1, num_j)
-            ]
-            stack = jnp.concatenate(planes, axis=0).astype(mm_dtype)
-            gath = jax.lax.dot_general(
-                onehot, stack, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                                     # [e8, J*crt]
-            qmask = (qio == q_all[:, g : g + 1]).astype(mm_dtype)
-            masked = gath.astype(mm_dtype) * pltpu.repeat(
-                qmask, num_j, axis=1
-            )                                                     # [e8, J*crt]
-            ncol = (num_j + 7) // 8 * 8
-            blk = (
-                jax.lax.broadcasted_iota(jnp.int32, (num_j * crt, ncol), 0)
-                // crt
+            rep = _row_replica(
+                codecol_ref, g, q_all, l_all, b_all, lane_i, lane_f, qio,
+                num_g=num_g, num_j=num_j, crt=crt, e8=e8, mm_dtype=mm_dtype,
             )
-            col = jax.lax.broadcasted_iota(jnp.int32, (num_j * crt, ncol), 1)
-            diff = ((blk == col).astype(mm_dtype)
-                    - (blk + 1 == col).astype(mm_dtype))
-            vsdv = jax.lax.dot_general(
-                masked, diff, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                                 # [e8, ncol] f32
-            # Per-row boundary reconstruction in f32 (this Mosaic target has
-            # no bf16 vector compare, and an f32 mask selecting bf16 values
-            # trips an i1-relayout bug).
-            rep = jnp.broadcast_to(vsdv[:, 0:1], (e8, LANES))
-            for j in range(1, num_j):
-                bj = b_all[:, (j - 1) * num_g + g : (j - 1) * num_g + g + 1]
-                rep = rep + jnp.where(
-                    lane_f >= bj, vsdv[:, j : j + 1], 0.0
-                )
 
         # Carrier wipe-off: in-kernel row phasors x hoisted lane phasors.
         if ablate in ("no_carrier", "floor"):
@@ -1678,6 +1721,385 @@ def correlate_pallas_bank_rows(
     return acc_re, acc_im
 
 
+# ---------------------------------------------------------------------------
+# Kernel F: composite bank — conj(carrier)*code folded into one plane per
+# channel; taps + antennas + I/Q ride ONE wide MXU contraction per group
+# ---------------------------------------------------------------------------
+
+
+def _comp_geometry(
+    num_samples: int,
+    tile_rows: int,
+    sampling_frequency: float,
+    code_length: int,
+    nominal_code_frequency: float | None,
+    max_chips_per_sample: float | None,
+    num_ants: int,
+    num_taps: int,
+) -> tuple[int, int, int, int]:
+    """Static geometry of the composite bank kernel.
+
+    Returns ``(tile_rows, num_j, crt, al2p)`` — rows geometry plus the padded
+    row count of the shifted-signal operand (``2 * A * L`` planes padded to a
+    sublane multiple). The tile is additionally capped so the per-step
+    shifted-signal block stays <= ~4 MB of VMEM (M=4 L=7 would otherwise blow
+    the scoped limit at 256-row tiles).
+    """
+    al2p = (2 * num_ants * num_taps + 7) // 8 * 8
+    tr = tile_rows
+    while True:
+        tr_eff, num_j, crt = _rows_geometry(
+            num_samples, tr, sampling_frequency, code_length,
+            nominal_code_frequency, max_chips_per_sample,
+        )
+        if al2p * tr_eff * LANES * 4 <= 4 * 2**20 or tr_eff <= 8:
+            return tr_eff, num_j, crt, al2p
+        tr = max(8, tr_eff // 2)
+
+
+def prepare_bank_code_tiles_comp(
+    codes: jax.Array,
+    prn: jax.Array,
+    *,
+    code_length: int,
+    num_samples: int,
+    sampling_frequency: float,
+    tile_rows: int = 256,
+    nominal_code_frequency: float | None = None,
+    max_chips_per_sample: float | None = None,
+    num_ants: int = 1,
+    num_taps: int = 3,
+) -> jax.Array:
+    """Per-channel tiled code tables ``[K, crt, 128]`` for the comp kernel."""
+    _, _, crt, _ = _comp_geometry(
+        num_samples, tile_rows, float(sampling_frequency), code_length,
+        nominal_code_frequency, max_chips_per_sample, num_ants, num_taps,
+    )
+    code_cols = jnp.take(codes.T, jnp.asarray(prn), axis=0)       # [K, Lc]
+    reps_needed = math.ceil(crt * LANES / code_length)
+    codecol = jnp.tile(code_cols, (1, reps_needed))[:, : crt * LANES]
+    return codecol.reshape(prn.shape[0], crt, LANES)
+
+
+def _bank_comp_kernel(
+    params_ref, base_ref, lanecos_ref, lanesin_ref,
+    s_ref, shalo_ref, codecol_ref, out_ref, z_ref,
+    *, code_length: int, tile_rows: int, crt: int, num_j: int,
+    rho_nom: float, fcar_nom_cyc: float, chans_per_step: int,
+    num_tiles: int, mm_dtype=jnp.bfloat16,
+):
+    """One (channel-group, tile) step of the composite bank correlator.
+
+    The rows kernel's tap MAC is per-channel: ``[A, T] x [L, T]`` with a tiny
+    ``[A, L]`` output — a serial chain of T/128 MXU passes per channel whose
+    measured marginal cost (1.69 ms/block at K=1024) dominated round 2. This
+    kernel restructures the whole MAC around one WIDE contraction per channel
+    group, using the exact tone identity
+
+        carrier[u - d] = carrier[u] * e^{-2*pi*i*f*d}
+
+    so the EPL tap shifts move off the per-channel replica onto the SHARED
+    signal: with ``Z_k[u] = conj(carrier_k[u]) * code_k[u]`` (ONE composite
+    plane per channel — tap-independent) and ``S_{a,l}[u] = sig_a[u - d_l]``
+    (shifted signal planes, shared by every channel and built once per block
+    by XLA),
+
+        accum[k, a, l] = e^{+2*pi*i*f_k*d_l} * sum_u S_{a,l}[u] * Z_k[u].
+
+    The sum over u is ONE MXU contraction ``[2G, T] x [2AL, T]^T -> [2G,
+    2AL]`` per grid step: the T/128 accumulation passes amortize over all G
+    channels of the group AND all antennas/taps/IQ components ride the output
+    lanes — the reference's per-thread NANT x NCOR MAC loops
+    (`/root/reference/src/algorithms.jl:571-605`) become MXU output columns.
+    The kernel accumulates the raw ``[2G, 2AL]`` products; the complex
+    recombination and the per-(k, l) phase rotation run in XLA on the tiny
+    ``[K, A, L]`` result (`correlate_pallas_bank_comp` epilogue).
+
+    Output row layout: rows ``0..G-1`` hold ``cos_k * rep_k`` products, rows
+    ``G..2G-1`` hold ``sin_k * rep_k`` (the conj minus sign is folded into
+    the epilogue). Column layout: ``[S_re-block | S_im-block]``, each block
+    (a, l)-major. The last tile adds a one-pass halo correction: the terms
+    ``u in [n_pad, n_pad + d_l)`` fall off the padded grid exactly when N is
+    a tile multiple; their S values ride a dedicated ``[2AL, 128]`` input
+    (zero whenever N < n_pad, so the correction is universally safe).
+    """
+    k = pl.program_id(0)
+    i = pl.program_id(1)
+    tile = tile_rows * LANES
+    ext = tile_rows + 1
+    e8 = (ext + 7) // 8 * 8
+    lc = jnp.float32(code_length)
+    num_g = chans_per_step
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (e8, LANES), 1)
+    lane_f = lane_i.astype(jnp.float32)
+    n_row = (
+        jax.lax.broadcasted_iota(jnp.int32, (e8, 1), 0).astype(jnp.float32)
+        * jnp.float32(LANES)
+    )
+    qio = jax.lax.broadcasted_iota(jnp.int32, (e8, crt), 1)
+    n0 = (i * tile).astype(jnp.float32)
+
+    q_all, l_all, b_all = _row_chip_setup(
+        params_ref, base_ref, k, i, n0, n_row, num_g=num_g, num_j=num_j,
+        crt=crt, lc=lc, rho_nom=rho_nom,
+    )
+    # Carrier row phasors on all e8 rows — the halo row participates in the
+    # last tile's correction pass.
+    rowcos_all, rowsin_all = _group_row_phasors(
+        params_ref, base_ref, k, i, n0, n_row, num_g=num_g,
+        fcar_nom_cyc=fcar_nom_cyc, rows=e8,
+    )                                                     # [e8, G]
+
+    # Composite planes stream into the z scratch so each channel's [e8, 128]
+    # temporaries (rep, cos, sin) die per loop iteration — holding all 2G
+    # planes live through the contraction blew the 16 MB scoped-VMEM limit.
+    # Halo rows are captured as [1, 128] slices (tiny) for the last tile.
+    hcos, hsin = [], []
+    for g in range(num_g):
+        rep = _row_replica(
+            codecol_ref, g, q_all, l_all, b_all, lane_i, lane_f, qio,
+            num_g=num_g, num_j=num_j, crt=crt, e8=e8, mm_dtype=mm_dtype,
+        )
+        rc = rowcos_all[:, g : g + 1]                     # [e8, 1]
+        rs = rowsin_all[:, g : g + 1]
+        lcos = lanecos_ref[g, 0:1, :]                     # [1, 128]
+        lsin = lanesin_ref[g, 0:1, :]
+        cos = rc * lcos - rs * lsin                       # [e8, 128]
+        sin = rs * lcos + rc * lsin
+        zc = cos * rep
+        zs = sin * rep
+        z_ref[g] = zc[:tile_rows]
+        z_ref[num_g + g] = zs[:tile_rows]
+        hcos.append(zc[tile_rows : tile_rows + 1])
+        hsin.append(zs[tile_rows : tile_rows + 1])
+
+    # The wide contraction: all G channels x all (IQ, ant, tap) columns.
+    # Operands are full-precision floats (carrier phasors x signal), so the
+    # matmul must run at HIGHEST precision — the TPU default decomposition
+    # loses ~3 decimal digits over a 32k-term sum (measured 1e-3 relative on
+    # chip), while the extra MXU passes are far off the critical path.
+    zm = z_ref[...].reshape(2 * num_g, tile)              # [2G, T]
+    sv = s_ref[...].reshape(s_ref.shape[0], tile)         # [2ALp, T]
+    out_ref[...] += jax.lax.dot_general(
+        zm, sv, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                     # [2G, 2ALp]
+
+    @pl.when(i == num_tiles - 1)
+    def _():
+        zh = jnp.concatenate(hcos + hsin, axis=0)         # [2G, 128]
+        out_ref[...] += jax.lax.dot_general(
+            zh, shalo_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+
+def correlate_pallas_bank_comp(
+    signal_re: jax.Array,
+    signal_im: jax.Array,
+    codes: jax.Array,
+    prn: jax.Array,
+    carrier_frequency: jax.Array,
+    sampling_frequency,
+    carrier_phase: jax.Array,
+    code_frequency: jax.Array,
+    code_phase: jax.Array,
+    sample_shifts: Sequence[int],
+    code_length: int,
+    tile_rows: int = 256,
+    nominal_code_frequency: float | None = None,
+    nominal_carrier_frequency: float = 0.0,
+    max_chips_per_sample: float | None = None,
+    code_tiles: jax.Array | None = None,
+    chans_per_step: int = 8,
+    matmul_dtype=jnp.bfloat16,
+) -> tuple[jax.Array, jax.Array]:
+    """Composite-plane fused EPL bank correlator (wide-MXU flagship).
+
+    Same contract and chip-rate envelope as `correlate_pallas_bank_rows`
+    (shared ``[N]`` / ``[A, N]`` front end, ``[K]`` channel arrays,
+    ``[K, (A,) L]`` accumulators, tap span < 128 samples, < ~0.17
+    chips/sample). Differs only in accumulator rounding: the carrier-shift
+    identity moves the tap shifts onto the signal, so sums are mathematically
+    identical but f32-rounded in a different order, and the per-(k, l) phase
+    rotation adds one complex multiply of rounding (~1e-7 relative — far
+    inside the tracking noise floor; see `_bank_comp_kernel`).
+    """
+    span = int(max(sample_shifts)) - int(min(sample_shifts))
+    if span >= LANES:
+        raise ValueError(
+            f"tap span {span} >= {LANES}; use the XLA bank path for wide spans"
+        )
+    squeeze = signal_re.ndim == 1
+    if squeeze:
+        signal_re, signal_im = signal_re[None], signal_im[None]
+    num_ants, num_samples = signal_re.shape
+    num_taps = len(sample_shifts)
+    d_min = int(min(sample_shifts))
+    deltas = tuple(int(d) - d_min for d in sample_shifts)
+    num_k = prn.shape[0]
+    fs = float(sampling_frequency)
+    al2 = 2 * num_ants * num_taps
+
+    tile_rows, num_j, crt, al2p = _comp_geometry(
+        num_samples, tile_rows, fs, code_length,
+        nominal_code_frequency, max_chips_per_sample, num_ants, num_taps,
+    )
+    tile = tile_rows * LANES
+    if code_tiles is None:
+        code_tiles = prepare_bank_code_tiles_comp(
+            codes, prn, code_length=code_length, num_samples=num_samples,
+            sampling_frequency=fs, tile_rows=tile_rows,
+            nominal_code_frequency=nominal_code_frequency,
+            max_chips_per_sample=max_chips_per_sample, num_ants=num_ants,
+            num_taps=num_taps,
+        )
+    elif code_tiles.shape[1] != crt:
+        raise ValueError(
+            f"code_tiles rows {code_tiles.shape[1]} != expected {crt}; "
+            "prepare_bank_code_tiles_comp geometry must match the kernel call"
+        )
+    codecol = code_tiles
+
+    num_tiles = pl.cdiv(num_samples, tile)
+    n_pad = num_tiles * tile
+    sig_re_p = _pad_to(signal_re, n_pad)                  # [A, n_pad]
+    sig_im_p = _pad_to(signal_im, n_pad)
+
+    # Shifted signal planes S_{comp, a, l}[u] = sig_a[u - d_l] (comp-major,
+    # then antenna, then tap) + the last-tile halo vectors S[n_pad - d_l + m]
+    # for m < d_l (automatically zero while N < n_pad: the pad region holds
+    # the shifted-in true samples already).
+    s_rows, halo_rows = [], []
+    for sig in (sig_re_p, sig_im_p):
+        for a in range(num_ants):
+            for dl in deltas:
+                s_rows.append(jnp.pad(sig[a], (dl, 0))[:n_pad])
+                halo_rows.append(
+                    jnp.pad(sig[a, n_pad - dl :] if dl else sig[a, :0],
+                            (0, LANES - dl))
+                )
+    s_planes = _pad_to(jnp.stack(s_rows, axis=0), al2p, axis=0)
+    s_planes = s_planes.reshape(al2p, num_tiles * tile_rows, LANES)
+    s_halo = _pad_to(jnp.stack(halo_rows, axis=0), al2p, axis=0)
+
+    rho_nom = (
+        float(nominal_code_frequency) / fs
+        if nominal_code_frequency is not None
+        else 0.0
+    )
+    fcar_nom_cyc = float(nominal_carrier_frequency) / fs
+    t_idx = np.arange(num_tiles, dtype=np.float64) * tile
+    base = jnp.asarray(
+        np.stack(
+            [
+                np.mod(fcar_nom_cyc * t_idx, 1.0),
+                np.mod(rho_nom * t_idx, float(code_length)),
+            ],
+            axis=-1,
+        ),
+        jnp.float32,
+    )                                                     # [tiles, 2]
+
+    rho = jnp.asarray(code_frequency, jnp.float32) / jnp.float32(fs)
+    f_cyc = (
+        jnp.broadcast_to(
+            jnp.asarray(carrier_frequency, jnp.float32), (num_k,)
+        )
+        / jnp.float32(fs)
+    )
+    params = jnp.stack(
+        [
+            f_cyc,
+            jnp.asarray(carrier_phase, jnp.float32) / jnp.float32(_TWO_PI),
+            rho,
+            jnp.asarray(code_phase, jnp.float32) + rho * jnp.float32(d_min),
+        ],
+        axis=-1,
+    )                                                     # [K, 4]
+
+    g = max(int(chans_per_step), 1)
+    num_kp = pl.cdiv(num_k, g) * g
+    if num_kp != num_k:
+        pad = ((0, num_kp - num_k),)
+        params = jnp.pad(params, pad + ((0, 0),), mode="edge")
+        codecol = jnp.pad(codecol, pad + ((0, 0), (0, 0)), mode="edge")
+
+    extra_inputs, extra_specs = _hoisted_lane_phasors(params, g)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(num_kp // g, num_tiles),
+        in_specs=[
+            pl.BlockSpec((num_kp, 4), lambda k, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((num_tiles, 2), lambda k, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            *extra_specs,
+            pl.BlockSpec((al2p, tile_rows, LANES), lambda k, i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((al2p, LANES), lambda k, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, crt, LANES), lambda k, i: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2 * g, al2p), lambda k, i: (k, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2 * g, tile_rows, LANES), jnp.float32),
+        ],
+    )
+    out_shape = jax.ShapeDtypeStruct((2 * num_kp, al2p), jnp.float32)
+    kernel = functools.partial(
+        _bank_comp_kernel,
+        code_length=int(code_length), tile_rows=int(tile_rows),
+        crt=int(crt), num_j=int(num_j), rho_nom=rho_nom,
+        fcar_nom_cyc=fcar_nom_cyc, chans_per_step=g,
+        num_tiles=int(num_tiles), mm_dtype=matmul_dtype,
+    )
+    raw = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        # The default 16 MB scoped-VMEM budget is an XLA pipelining reserve,
+        # not the physical limit; the z scratch + HIGHEST-precision operand
+        # decompositions of the wide matmul need more at large (G, TR).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=_interpret(),
+    )(params, base, *extra_inputs, s_planes, s_halo, codecol)
+
+    # Epilogue (XLA, tiny [K, A, L] math): complex recombination of the raw
+    # products, then the exact e^{+i 2 pi f_k d_l} tap-phase rotation.
+    raw = raw.reshape(num_kp // g, 2, g, al2p)[:, :, :, :al2]
+    raw = raw.reshape(num_kp // g, 2, g, 2, num_ants, num_taps)
+    m_re = (raw[:, 0, :, 0] + raw[:, 1, :, 1]).reshape(
+        num_kp, num_ants, num_taps
+    )[:num_k]
+    m_im = (raw[:, 0, :, 1] - raw[:, 1, :, 0]).reshape(
+        num_kp, num_ants, num_taps
+    )[:num_k]
+    omega = (
+        jnp.float32(_TWO_PI)
+        * f_cyc[:, None, None]
+        * jnp.asarray(deltas, jnp.float32)[None, None, :]
+    )                                                     # [K, 1, L]
+    cw, sw = jnp.cos(omega), jnp.sin(omega)
+    acc_re = cw * m_re - sw * m_im
+    acc_im = cw * m_im + sw * m_re
+    if squeeze:
+        acc_re, acc_im = acc_re[:, 0], acc_im[:, 0]
+    return acc_re, acc_im
+
+
 def bank_algorithm_for(
     num_samples: int,
     sampling_frequency: float,
@@ -1746,4 +2168,5 @@ registry.register("pallas_fused", correlate_pallas_fused)
 registry.register("pallas_bank", correlate_pallas_bank)
 registry.register("pallas_bank_onehot", correlate_pallas_bank_onehot)
 registry.register("pallas_bank_rows", correlate_pallas_bank_rows)
+registry.register("pallas_bank_comp", correlate_pallas_bank_comp)
 registry.register("pallas_bank_auto", correlate_pallas_bank_auto)

@@ -52,5 +52,5 @@ register("xla_bank", correlate.correlate_xla_bank)
 # shared front-end signal) -- the 3-D multi-satellite family.
 BANK_ALGORITHMS = {
     "xla_bank", "pallas_bank", "pallas_bank_onehot", "pallas_bank_rows",
-    "pallas_bank_auto",
+    "pallas_bank_comp", "pallas_bank_auto",
 }

@@ -267,7 +267,8 @@ def _bank_kernel_kwargs(config: TrackConfig) -> dict:
     """Static kwargs for a bank-signature correlator from the config."""
     kwargs = {"sampling_frequency": config.sampling_frequency}
     if config.algorithm in (
-        "pallas_bank", "pallas_bank_rows", "pallas_bank_auto"
+        "pallas_bank", "pallas_bank_rows", "pallas_bank_comp",
+        "pallas_bank_auto",
     ):
         kwargs["nominal_code_frequency"] = config.code_frequency
         kwargs["nominal_carrier_frequency"] = config.intermediate_frequency
@@ -287,6 +288,7 @@ def _bank_code_tile_kwargs(
     codes: jax.Array,
     prn: jax.Array,
     num_samples: Optional[int] = None,
+    num_ants: int = 1,
 ) -> dict:
     """Precomputed per-channel code tables for the Pallas bank kernels.
 
@@ -303,15 +305,19 @@ def _bank_code_tile_kwargs(
             **({} if config.tile_rows is None
                else {"tile_rows": config.tile_rows}),
         )
-    if algorithm in ("pallas_bank", "pallas_bank_rows"):
+    if algorithm in ("pallas_bank", "pallas_bank_rows", "pallas_bank_comp"):
         tile_kwargs = (
             {} if config.tile_rows is None else {"tile_rows": config.tile_rows}
         )
-        prepare = (
-            pallas_epl.prepare_bank_code_tiles
-            if algorithm == "pallas_bank"
-            else pallas_epl.prepare_bank_code_tiles_rows
-        )
+        if algorithm == "pallas_bank_comp":
+            tile_kwargs.update(
+                num_ants=num_ants, num_taps=len(config.sample_shifts)
+            )
+        prepare = {
+            "pallas_bank": pallas_epl.prepare_bank_code_tiles,
+            "pallas_bank_rows": pallas_epl.prepare_bank_code_tiles_rows,
+            "pallas_bank_comp": pallas_epl.prepare_bank_code_tiles_comp,
+        }[algorithm]
         return {
             "code_tiles": prepare(
                 codes, prn,
@@ -383,7 +389,10 @@ def track_bank(
         # code-table gather (+tile) would otherwise rebuild every block —
         # hoist it out of the scan once.
         kwargs.update(
-            _bank_code_tile_kwargs(config, codes, states.prn)
+            _bank_code_tile_kwargs(
+                config, codes, states.prn,
+                num_ants=signal_re.shape[-2] if signal_re.ndim == 3 else 1,
+            )
         )
 
         def body(st, sig):

@@ -20,11 +20,13 @@ params = {
     "algorithm": ["fused_xla", "unfused_xla", "pallas_fused",
                   "pallas_taps"],
     "processor": "TPU",
-    "reps": 8,
-    "trials": 3,
+    # deep-unroll protocol: reps scale inversely with N (>= ~2 ms device
+    # work per timed call) so small-N medians clear the tunnel noise floor
+    "reps": "auto",
+    "trials": 9,
 }
 
-cpu_params = dict(params, processor="CPU", reps=4, trials=5,
+cpu_params = dict(params, processor="CPU", reps=4, trials=7,
                   algorithm=["fused_xla", "unfused_xla"])
 
 if __name__ == "__main__":

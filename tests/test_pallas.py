@@ -478,6 +478,93 @@ class TestBankRowsKernel:
             np.testing.assert_array_equal(got[0], want[0])
 
 
+class TestBankCompKernel:
+    """Composite bank kernel (`pallas_bank_comp`): conj(carrier)*code folded
+    into one plane per channel, taps/antennas/IQ on one wide MXU contraction.
+    Mathematically identical to the rows kernel via the exact tone identity
+    carrier[u-d] = carrier[u]*e^{-2*pi*i*f*d}; f32 rounding order differs, so
+    parity is tolerance-based (~1e-5 relative), not bit-exact."""
+
+    _run = TestBankRowsKernel._run
+    _random_case = TestBankRowsKernel._random_case
+
+    @pytest.mark.parametrize("n_samples,k", [(32768, 8), (8192, 5)])
+    def test_matches_rows_kernel(self, n_samples, k):
+        case = self._random_case(GPSL1(), n_samples, k)
+        got = self._run("pallas_bank_comp", **case, chans_per_step=4)
+        want = self._run("pallas_bank_rows", **case)
+        scale = np.abs(want[0]).max()
+        np.testing.assert_allclose(got[0], want[0], atol=3e-5 * scale)
+        np.testing.assert_allclose(got[1], want[1], atol=3e-5 * scale)
+
+    def test_golden_prompt(self):
+        system = GPSL1()
+        N = 32768
+        fs = N / 1e-3
+        signal, _ = gen_signal(system, 0, 1500.0, N)
+        sre, sim = soa(signal)
+        shifts = correlator_sample_shifts(system, EPLCorrelator(3), fs)
+        z = np.zeros(3)
+        are, _ = self._run(
+            "pallas_bank_comp", system, sre, sim, fs, shifts, [0, 0, 0],
+            z + 1500.0, z, z + system.code_frequency, z, chans_per_step=3,
+        )
+        np.testing.assert_allclose(are[:, 1], np.full(3, float(N)), rtol=1e-5)
+
+    def test_halo_terms_at_exact_tile_multiple(self):
+        # N == n_pad (one 256-row tile exactly): the late-tap terms
+        # u in [N, N+d_l) fall off the padded grid and ride the dedicated
+        # halo contraction — random code phases make them nonzero.
+        case = self._random_case(GPSL1(), 32768, 4, seed=7)
+        got = self._run("pallas_bank_comp", **case, chans_per_step=2)
+        want = self._run("pallas_bank_rows", **case)
+        scale = np.abs(want[0]).max()
+        np.testing.assert_allclose(got[0], want[0], atol=3e-5 * scale)
+        np.testing.assert_allclose(got[1], want[1], atol=3e-5 * scale)
+
+    def test_multi_tile_and_padded_k(self):
+        case = self._random_case(GPSL1(), 32768, 5, seed=3)
+        want = self._run("pallas_bank_comp", **case, chans_per_step=1)
+        # K=5 with G=3 exercises the channel-padding path; tile_rows=64 the
+        # multi-tile nominal-base rebasing (4 tiles).
+        got = self._run("pallas_bank_comp", **case, chans_per_step=3)
+        np.testing.assert_array_equal(got[0], want[0])
+        multi = self._run("pallas_bank_comp", **case, tile_rows=64,
+                          chans_per_step=2)
+        ref = self._run("pallas_bank_rows", **case, tile_rows=64)
+        scale = np.abs(ref[0]).max()
+        np.testing.assert_allclose(multi[0], ref[0], atol=3e-5 * scale)
+
+    def test_multi_antenna(self):
+        system = GPSL1()
+        signal, fs = gen_signal(system, 0, 1500.0, 32768, num_ants=2)
+        sre, sim = soa(signal)
+        shifts = correlator_sample_shifts(system, EPLCorrelator(3), fs)
+        z = np.zeros(2)
+        are, aim = self._run(
+            "pallas_bank_comp", system, sre, sim, fs, shifts, [0, 0],
+            z + 1500.0, z, z + system.code_frequency, z, chans_per_step=2,
+        )
+        assert are.shape == (2, 2, 3)
+        np.testing.assert_allclose(
+            are[:, :, 1], np.full((2, 2), 32768.0), rtol=1e-5
+        )
+
+    def test_unaligned_n(self):
+        # N=20000 (not a tile multiple): the shifted-in tail rides the S
+        # padding region and the halo input is all zeros.
+        case = self._random_case(GPSL1(), 20000, 3, seed=5)
+        got = self._run("pallas_bank_comp", **case, chans_per_step=3)
+        want = self._run("pallas_bank_rows", **case)
+        scale = np.abs(want[0]).max()
+        np.testing.assert_allclose(got[0], want[0], atol=3e-5 * scale)
+
+    def test_low_rate_rejected(self):
+        case = self._random_case(GPSL1(), 2500, 2)
+        with pytest.raises(ValueError, match="chips/sample"):
+            self._run("pallas_bank_comp", **case)
+
+
 def test_registry_names():
     names = registry.names()
     for expected in ["fused_xla", "unfused_xla", "pallas_taps", "pallas_fused",
