@@ -1786,7 +1786,9 @@ def _bank_comp_kernel(
     s_ref, shalo_ref, codecol_ref, out_ref, z_ref,
     *, code_length: int, tile_rows: int, crt: int, num_j: int,
     rho_nom: float, fcar_nom_cyc: float, chans_per_step: int,
-    num_tiles: int, mm_dtype=jnp.bfloat16,
+    num_tiles: int, mm_dtype=jnp.bfloat16, contract: str = "flat",
+    mac_precision=jax.lax.Precision.HIGHEST, z_dtype=jnp.float32,
+    ablate: str = "none",
 ):
     """One (channel-group, tile) step of the composite bank correlator.
 
@@ -1855,6 +1857,34 @@ def _bank_comp_kernel(
         fcar_nom_cyc=fcar_nom_cyc, rows=e8,
     )                                                     # [e8, G]
 
+    if contract == "diag":
+        # Constants of the transpose-free two-stage contraction, shared by
+        # the whole group. Stage 1 contracts the ROW dim of the natural-
+        # layout composite against S2[r, (p, l')] (arranged by XLA), giving
+        # C[l, (p, l')] on the MXU; the wanted values are the block
+        # diagonals C[l, p*128 + l], selected by one mask multiply and
+        # summed by two constant matmuls (ones / block-selector) — no
+        # [row -> lane-chunk] relayout of Z anywhere.
+        al2pl = s_ref.shape[1]
+        dmask = (
+            jax.lax.rem(
+                jax.lax.broadcasted_iota(jnp.int32, (2 * LANES, al2pl), 0),
+                LANES,
+            )
+            == jax.lax.rem(
+                jax.lax.broadcasted_iota(jnp.int32, (2 * LANES, al2pl), 1),
+                LANES,
+            )
+        ).astype(jnp.float32)
+        ones8 = jnp.ones((8, LANES), jnp.float32)
+        bsel = (
+            jax.lax.broadcasted_iota(jnp.int32, (al2pl, out_ref.shape[1]), 0)
+            // LANES
+            == jax.lax.broadcasted_iota(
+                jnp.int32, (al2pl, out_ref.shape[1]), 1
+            )
+        ).astype(jnp.float32)
+
     # Composite planes stream into the z scratch so each channel's [e8, 128]
     # temporaries (rep, cos, sin) die per loop iteration — holding all 2G
     # planes live through the contraction blew the 16 MB scoped-VMEM limit.
@@ -1871,25 +1901,78 @@ def _bank_comp_kernel(
         lsin = lanesin_ref[g, 0:1, :]
         cos = rc * lcos - rs * lsin                       # [e8, 128]
         sin = rs * lcos + rc * lsin
-        zc = cos * rep
-        zs = sin * rep
-        z_ref[g] = zc[:tile_rows]
-        z_ref[num_g + g] = zs[:tile_rows]
-        hcos.append(zc[tile_rows : tile_rows + 1])
-        hsin.append(zs[tile_rows : tile_rows + 1])
+        zc = (cos * rep).astype(z_dtype)
+        zs = (sin * rep).astype(z_dtype)
+        hcos.append(zc[tile_rows : tile_rows + 1].astype(jnp.float32))
+        hsin.append(zs[tile_rows : tile_rows + 1].astype(jnp.float32))
+        if ablate == "nomac":
+            continue
+        if contract == "diag":
+            # [TR, 256]: zc on lanes 0..127, zs on 128..255 — a lane-concat,
+            # layout-preserving (rows stay on sublanes).
+            zcs = jnp.concatenate(
+                [zc[:tile_rows], zs[:tile_rows]], axis=1
+            ).astype(jnp.float32)
+            c_all = jax.lax.dot_general(
+                zcs, s_ref[...], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=mac_precision,
+            )                                             # [256, al2pl]
+            d = c_all * dmask
+            r1c = jax.lax.dot_general(
+                ones8, d[:LANES], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                             # [8, al2pl]
+            r1s = jax.lax.dot_general(
+                ones8, d[LANES:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            oc = jax.lax.dot_general(
+                r1c, bsel, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                             # [8, 2ALp]
+            osn = jax.lax.dot_general(
+                r1s, bsel, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            out_ref[g : g + 1, :] += oc[0:1]
+            out_ref[num_g + g : num_g + g + 1, :] += osn[0:1]
+        elif contract == "flatz":
+            # Per-channel relayout at write time: the (row -> lane-chunk,
+            # channel -> sublane) transpose interleaves with the next
+            # channel's replica/carrier chains instead of serializing after
+            # the loop.
+            z_ref[g : g + 1, :] = zc[:tile_rows].reshape(1, tile)
+            z_ref[num_g + g : num_g + g + 1, :] = (
+                zs[:tile_rows].reshape(1, tile)
+            )
+        else:
+            z_ref[g] = zc[:tile_rows]
+            z_ref[num_g + g] = zs[:tile_rows]
 
     # The wide contraction: all G channels x all (IQ, ant, tap) columns.
     # Operands are full-precision floats (carrier phasors x signal), so the
-    # matmul must run at HIGHEST precision — the TPU default decomposition
-    # loses ~3 decimal digits over a 32k-term sum (measured 1e-3 relative on
-    # chip), while the extra MXU passes are far off the critical path.
-    zm = z_ref[...].reshape(2 * num_g, tile)              # [2G, T]
-    sv = s_ref[...].reshape(s_ref.shape[0], tile)         # [2ALp, T]
-    out_ref[...] += jax.lax.dot_general(
-        zm, sv, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )                                                     # [2G, 2ALp]
+    # matmul should run above DEFAULT precision — the TPU default (one bf16
+    # pass) loses ~3 decimal digits over a 32k-term sum (measured 1e-3
+    # relative on chip); HIGH (bf16x3) restores ~f32 accuracy at half the
+    # passes of HIGHEST.
+    if ablate != "nomac" and contract != "diag":
+        # NOTE "nd" (two contracting dims, no relayout) is rejected by this
+        # Mosaic toolchain: 'tpu.matmul' lhs contracting dims must be size 1.
+        zm = (
+            z_ref[...] if contract == "flatz"
+            else z_ref[...].reshape(2 * num_g, tile)
+        )                                                 # [2G, T]
+        sv = s_ref[...]                                   # [2ALp, T] (flat)
+        out_ref[...] += jax.lax.dot_general(
+            zm, sv, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mac_precision,
+        )                                                 # [2G, 2ALp]
 
     @pl.when(i == num_tiles - 1)
     def _():
@@ -1920,6 +2003,10 @@ def correlate_pallas_bank_comp(
     code_tiles: jax.Array | None = None,
     chans_per_step: int = 8,
     matmul_dtype=jnp.bfloat16,
+    contract: str = "flat",
+    mac_precision=jax.lax.Precision.HIGHEST,
+    z_dtype=jnp.float32,
+    ablate: str = "none",
 ) -> tuple[jax.Array, jax.Array]:
     """Composite-plane fused EPL bank correlator (wide-MXU flagship).
 
@@ -1986,8 +2073,19 @@ def correlate_pallas_bank_comp(
                     jnp.pad(sig[a, n_pad - dl :] if dl else sig[a, :0],
                             (0, LANES - dl))
                 )
-    s_planes = _pad_to(jnp.stack(s_rows, axis=0), al2p, axis=0)
-    s_planes = s_planes.reshape(al2p, num_tiles * tile_rows, LANES)
+    # Flat [al2p, n_pad]: the (a, l)-planes stay T-major so the kernel
+    # consumes them without any in-kernel reshape (an HBM reshape is free).
+    # z_dtype=bf16 also halves the S stream and the z-scratch relayout.
+    s_planes = _pad_to(jnp.stack(s_rows, axis=0), al2p, axis=0).astype(z_dtype)
+    if contract == "diag":
+        # S2[r, p*128 + l] = S_p[128 r + l]: the stage-1 rows-contraction
+        # operand (arranged once per block in XLA, where relayouts are free).
+        s_planes = (
+            s_planes.astype(jnp.float32)
+            .reshape(al2p, num_tiles * tile_rows, LANES)
+            .transpose(1, 0, 2)
+            .reshape(num_tiles * tile_rows, al2p * LANES)
+        )
     s_halo = _pad_to(jnp.stack(halo_rows, axis=0), al2p, axis=0)
 
     rho_nom = (
@@ -2043,8 +2141,13 @@ def correlate_pallas_bank_comp(
             pl.BlockSpec((num_tiles, 2), lambda k, i: (0, 0),
                          memory_space=pltpu.SMEM),
             *extra_specs,
-            pl.BlockSpec((al2p, tile_rows, LANES), lambda k, i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
+            (
+                pl.BlockSpec((tile_rows, al2p * LANES), lambda k, i: (i, 0),
+                             memory_space=pltpu.VMEM)
+                if contract == "diag"
+                else pl.BlockSpec((al2p, tile), lambda k, i: (0, i),
+                                  memory_space=pltpu.VMEM)
+            ),
             pl.BlockSpec((al2p, LANES), lambda k, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g, crt, LANES), lambda k, i: (k, 0, 0),
@@ -2053,7 +2156,12 @@ def correlate_pallas_bank_comp(
         out_specs=pl.BlockSpec((2 * g, al2p), lambda k, i: (k, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2 * g, tile_rows, LANES), jnp.float32),
+            pltpu.VMEM(
+                (8, LANES) if contract == "diag"       # unused in diag mode
+                else (2 * g, tile) if contract == "flatz"
+                else (2 * g, tile_rows, LANES),
+                z_dtype,
+            ),
         ],
     )
     out_shape = jax.ShapeDtypeStruct((2 * num_kp, al2p), jnp.float32)
@@ -2063,6 +2171,8 @@ def correlate_pallas_bank_comp(
         crt=int(crt), num_j=int(num_j), rho_nom=rho_nom,
         fcar_nom_cyc=fcar_nom_cyc, chans_per_step=g,
         num_tiles=int(num_tiles), mm_dtype=matmul_dtype,
+        contract=contract, mac_precision=mac_precision,
+        z_dtype=z_dtype, ablate=ablate,
     )
     raw = pl.pallas_call(
         kernel,

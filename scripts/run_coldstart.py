@@ -1,0 +1,375 @@
+#!/usr/bin/env python
+"""Cold-start end-to-end demo: int8 IQ captures -> native C++ decode ->
+PCPS acquisition -> secondary-code sync -> closed-loop tracking -> observables.
+
+The reference benchmarks the correlation kernel in isolation; the ecosystem
+around it (Acquisition.jl -> Tracking.jl handoff, `/root/reference/src/
+benchmarks.jl:54`) is what a receiver actually runs. This script exercises
+that full pipeline on this framework, from raw int8 bytes to navigation
+observables, with no prior knowledge injected beyond the PRN search list:
+
+  1. synthesize deterministic int8 captures (seeded AWGN, quantized like an
+     RF front end): GPS L1 C/A band at 8.192 MHz with 4 satellites, and a
+     GPS L5 band at 32.768 MHz with 2 satellites (I5 data x NH10 x 100 sps
+     nav symbols + quadrature Q5 pilot x NH20);
+  2. decode blocks through `runtime.iq.IQFile` (native C++ `libiqstream`);
+  3. PCPS-acquire (noncoherent rounds) over candidate PRNs, accept by
+     deflection metric;
+  4. L1: closed-loop bank track via `runtime.stream.StreamTracker`,
+     demonstrating the checkpoint/resume path mid-run;
+  5. L5: pilot-only pull-in -> `tracking.secondary.detect_secondary_offset`
+     (NH20 sync) -> dual-component (pilot-driven) track + nav-symbol
+     demodulation;
+  6. write `data/coldstart/observables.json` + `img/coldstart_pipeline.png`.
+
+Run on the default (TPU) backend; pass --cpu to force the CPU backend.
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+ROOT = pathlib.Path(__file__).parent.parent
+OUT_DATA = ROOT / "data" / "coldstart"
+OUT_IMG = ROOT / "img"
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+parser.add_argument("--capture-dir", default="/tmp/coldstart_captures")
+ARGS = parser.parse_args()
+
+import jax
+
+if ARGS.cpu:
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import jax.numpy as jnp
+
+from gpuacceleratedtracking_tpu.acquire import acquire, to_track_states
+from gpuacceleratedtracking_tpu.models import GPSL1, GPSL5, gen_signal
+from gpuacceleratedtracking_tpu.runtime import IQFile, StreamTracker, blocks
+from gpuacceleratedtracking_tpu.runtime import iq as iq_mod
+from gpuacceleratedtracking_tpu.tracking import (
+    TrackConfig,
+    detect_secondary_offset,
+    dual_config,
+    init_state,
+    track_bank,
+    track_bank_dual,
+)
+
+# --- capture truth (what the script plants; reported for the reader, never
+# fed to acquisition/tracking) ---
+L1 = dict(
+    fs=8.192e6, n=8192, ms=300, prns=[2, 7, 13, 21],
+    dops=[-2400.0, -700.0, 850.0, 3100.0],
+    phases=[120.0, 512.3, 41.7, 987.2],
+    sigma=11.4,          # ~45 dB-Hz per satellite at 8.192 MHz
+    scale=3.7,           # int8 LSBs per unit amplitude (clips at ~3 sigma)
+)
+L5 = dict(
+    fs=32.768e6, n=32768, ms=120, prns=[4, 11],
+    dops=[-1600.0, 2200.0],
+    phases=[2048.0, 7777.5],
+    nh_phase=[3, 7],     # planted NH overlay offsets (blocks)
+    sigma=22.8,          # ~45 dB-Hz per component at 32.768 MHz
+    scale=1.8,
+)
+
+
+def synthesize_l1(path: pathlib.Path) -> None:
+    system = GPSL1()
+    total = None
+    for prn, dop, phi in zip(L1["prns"], L1["dops"], L1["phases"]):
+        scale = 1.0 + dop / system.center_frequency
+        s, _ = gen_signal(
+            system, prn, dop, L1["n"] * L1["ms"], duration=L1["ms"] * 1e-3,
+            start_code_phase=phi, code_frequency=system.code_frequency * scale,
+        )
+        total = s if total is None else total + s
+    _write_int8(path, np.asarray(total), L1["sigma"], L1["scale"], seed=11)
+
+
+def synthesize_l5(path: pathlib.Path) -> None:
+    sys_i, sys_q = GPSL5(), GPSL5(quadrature=True)
+    rng = np.random.default_rng(55)
+    nav = np.repeat(rng.choice([-1.0, 1.0], L5["ms"] // 10), 10)
+    total = None
+    for prn, dop, phi, nh0 in zip(
+        L5["prns"], L5["dops"], L5["phases"], L5["nh_phase"]
+    ):
+        scale = 1.0 + dop / sys_i.center_frequency
+        common = dict(
+            duration=L5["ms"] * 1e-3, start_code_phase=phi,
+            code_frequency=sys_i.code_frequency * scale,
+        )
+        # data component: primary x NH10 x nav symbols, as one composite
+        # per-period overlay (period p sign = NH10[(p + nh0) % 10] * nav[p])
+        nh10 = np.asarray(sys_i.secondary_code, np.float32)
+        overlay = nh10[(np.arange(L5["ms"]) + nh0) % 10] * nav
+        s_i, _ = gen_signal(sys_i, prn, dop, L5["n"] * L5["ms"],
+                            secondary_code=overlay, **common)
+        # pilot: quadrature carrier, NH20 at the same planted offset
+        s_q, _ = gen_signal(sys_q, prn, dop, L5["n"] * L5["ms"],
+                            secondary_code=sys_q.secondary_code,
+                            secondary_phase=nh0,
+                            start_carrier_phase=np.pi / 2, **common)
+        s = np.asarray(s_i) + np.asarray(s_q)
+        total = s if total is None else total + s
+    _write_int8(path, total, L5["sigma"], L5["scale"], seed=56)
+
+
+def _write_int8(path, signal, sigma, scale, seed):
+    """Quantize complex f32 + AWGN to interleaved int8 (front-end model)."""
+    rng = np.random.default_rng(seed)
+    re = np.real(signal) + sigma * rng.standard_normal(signal.shape)
+    im = np.imag(signal) + sigma * rng.standard_normal(signal.shape)
+    inter = np.empty(2 * signal.size, np.float32)
+    inter[0::2] = re * scale
+    inter[1::2] = im * scale
+    np.clip(np.rint(inter), -127, 127).astype(np.int8).tofile(path)
+
+
+def read_blocks(path, n, count, start_block=0, scale=1.0):
+    with IQFile(path, "int8", scale) as f:
+        f.read(start_block * n)
+        out = [f.read(n) for _ in range(count)]
+    return (np.stack([o[0] for o in out]), np.stack([o[1] for o in out]))
+
+
+def acquire_band(system, path, n, fs, rounds=6, accept=8.0):
+    sre, sim = read_blocks(path, n, rounds)
+    res = acquire(system, jnp.asarray(sre), jnp.asarray(sim),
+                  np.arange(system.codes.shape[1]), fs)
+    metric = np.asarray(res.peak_metric)
+    hits = np.flatnonzero(metric > accept)
+    return res, hits
+
+
+def run_l1(capture: pathlib.Path, report: dict) -> dict:
+    system = GPSL1()
+    res, hits = acquire_band(system, capture, L1["n"], L1["fs"])
+    report["l1_acquisition"] = {
+        "searched_prns": int(system.codes.shape[1]),
+        "accepted": [
+            {
+                "prn": int(p),
+                "doppler_hz": float(np.asarray(res.carrier_doppler)[p]),
+                "code_phase_chips": float(np.asarray(res.code_phase)[p]),
+                "metric": float(np.asarray(res.peak_metric)[p]),
+            }
+            for p in hits
+        ],
+        "planted": [
+            {"prn": p, "doppler_hz": d}
+            for p, d in zip(L1["prns"], L1["dops"])
+        ],
+    }
+    assert sorted(int(p) for p in hits) == sorted(L1["prns"]), (
+        f"acquisition found {hits}, planted {L1['prns']}"
+    )
+
+    sub = jax.tree.map(lambda x: np.asarray(x)[hits], res)
+    states = to_track_states(sub)
+    config = TrackConfig.for_system(
+        system, L1["fs"], L1["n"], algorithm="pallas_bank_auto",
+        chans_per_step=4,
+    )
+    ckpt = OUT_DATA / "l1_checkpoint.npz"
+    tracker = StreamTracker(
+        config, system.codes, states, blocks_per_dispatch=20,
+        checkpoint_path=ckpt, checkpoint_every=100,
+    )
+    # First leg: track half the capture, checkpointing along the way ...
+    with IQFile(capture, "int8", 1.0 / L1["scale"]) as f:
+        first = tracker.run(blocks(f, L1["n"]), max_blocks=L1["ms"] // 2)
+    tracker.save_checkpoint(first.blocks_processed)
+    # ... then COLD-RESUME: a brand-new tracker restores NCO state from the
+    # checkpoint file and continues where the first process stopped.
+    tracker2 = StreamTracker(
+        config, system.codes, init_state(np.asarray(states.prn)),
+        blocks_per_dispatch=20, checkpoint_path=ckpt,
+    )
+    done = tracker2.load_checkpoint()
+    with IQFile(capture, "int8", 1.0 / L1["scale"]) as f:
+        f.read(done * L1["n"])
+        second = tracker2.run(blocks(f, L1["n"]))
+    out1, out2 = first.stacked(), second.stacked()
+    dop = np.concatenate([np.asarray(out1.carrier_doppler),
+                          np.asarray(out2.carrier_doppler)])
+    cn0 = np.concatenate([np.asarray(out1.cn0_dbhz),
+                          np.asarray(out2.cn0_dbhz)])
+    dop_err = dop[-20:].mean(axis=0) - np.asarray(
+        [d for _, d in sorted(zip(L1["prns"], L1["dops"]))]
+    )
+    report["l1_track"] = {
+        "blocks": int(first.blocks_processed + second.blocks_processed),
+        "resume_at_block": int(done),
+        "final_doppler_hz": [float(x) for x in dop[-20:].mean(axis=0)],
+        "doppler_error_hz": [float(x) for x in dop_err],
+        "final_cn0_dbhz": [float(x) for x in cn0[-20:].mean(axis=0)],
+    }
+    assert np.all(np.abs(dop_err) < 5.0), dop_err
+    return {"doppler": dop, "cn0": cn0}
+
+
+def run_l5(capture: pathlib.Path, report: dict) -> dict:
+    sys_i, sys_q = GPSL5(), GPSL5(quadrature=True)
+    scale = 1.0 / L5["scale"]
+    # Acquire on the PILOT code (dataless component; NH flips between the
+    # 1 ms rounds are absorbed by noncoherent integration).
+    res, hits = acquire_band(sys_q, capture, L5["n"], L5["fs"], rounds=8)
+    report["l5_acquisition"] = {
+        "accepted": [
+            {
+                "prn": int(p),
+                "doppler_hz": float(np.asarray(res.carrier_doppler)[p]),
+                "metric": float(np.asarray(res.peak_metric)[p]),
+            }
+            for p in hits
+        ],
+        "planted": [
+            {"prn": p, "doppler_hz": d}
+            for p, d in zip(L5["prns"], L5["dops"])
+        ],
+    }
+    assert sorted(int(p) for p in hits) == sorted(L5["prns"]), hits
+
+    sub = jax.tree.map(lambda x: np.asarray(x)[hits], res)
+    states = to_track_states(sub)
+    # Stage 1 — pilot pull-in, overlay-agnostic (Costas tolerates the NH
+    # sign flips), to collect prompts for secondary sync.
+    sync_blocks = 40
+    cfg_sync = TrackConfig.for_system(
+        sys_q, L5["fs"], L5["n"], algorithm="pallas_bank",
+        use_secondary=False, chans_per_step=2,
+    )
+    sre, sim = read_blocks(capture, L5["n"], sync_blocks, scale=scale)
+    st1, out1 = track_bank(
+        cfg_sync, jnp.asarray(sys_q.codes), states,
+        jnp.asarray(sre), jnp.asarray(sim),
+    )
+    # Stage 2 — NH20 sync from the locked prompts (skip the pull-in
+    # transient), then align the block counter so overlay wipe-off is in
+    # phase for the dual-component tracker.
+    settle = 20
+    offset, conf = detect_secondary_offset(
+        jnp.asarray(np.asarray(out1.prompt_re)[settle:]),
+        sys_q.secondary_code,
+    )
+    offset = (np.asarray(offset) - settle) % len(sys_q.secondary_code)
+    report["l5_secondary_sync"] = {
+        "nh20_offset_blocks": [int(o) for o in offset],
+        "planted_offset": [
+            o for _, o in sorted(zip(L5["prns"], L5["nh_phase"]))
+        ],
+        "confidence": [float(c) for c in np.asarray(conf)],
+    }
+    st_dual = st1._replace(
+        ms_elapsed=jnp.asarray(sync_blocks + offset, jnp.int32)
+    )
+    # Stage 3 — dual-component track of the rest of the capture: pilot-driven
+    # atan2 loop + data-component nav-symbol demodulation.
+    cfg_dual = dual_config(cfg_sync)
+    rest = L5["ms"] - sync_blocks
+    sre, sim = read_blocks(capture, L5["n"], rest, start_block=sync_blocks,
+                           scale=scale)
+    st2, out2 = track_bank_dual(
+        cfg_dual, jnp.asarray(sys_i.codes), jnp.asarray(sys_q.codes),
+        st_dual, jnp.asarray(sre), jnp.asarray(sim),
+    )
+    dop = np.asarray(out2.pilot.carrier_doppler)
+    planted = np.asarray([d for _, d in sorted(zip(L5["prns"], L5["dops"]))])
+    dop_err = dop[-20:].mean(axis=0) - planted
+    # Nav symbols: 100 sps = 10 blocks/symbol; decide from block sums of the
+    # wiped data prompts over whole symbol windows.
+    d = np.asarray(out2.data_prompt_re)
+    symbols = {}
+    for ch in range(d.shape[1]):
+        s0 = int((10 - (sync_blocks % 10)) % 10)
+        dd = d[s0:, ch]
+        dd = dd[: len(dd) // 10 * 10].reshape(-1, 10).sum(axis=1)
+        symbols[ch] = np.sign(dd).astype(int).tolist()
+    report["l5_dual_track"] = {
+        "blocks": int(rest),
+        "final_doppler_hz": [float(x) for x in dop[-20:].mean(axis=0)],
+        "doppler_error_hz": [float(x) for x in dop_err],
+        "final_cn0_dbhz": [
+            float(x)
+            for x in np.asarray(out2.pilot.cn0_dbhz)[-20:].mean(axis=0)
+        ],
+        "nav_symbols_last10": {k: v[-10:] for k, v in symbols.items()},
+        "pilot_prompt_final": [
+            float(x) for x in np.asarray(out2.pilot.prompt_re)[-1]
+        ],
+    }
+    assert np.all(np.abs(dop_err) < 5.0), dop_err
+    return {"doppler": dop, "pilot_prompt": np.asarray(out2.pilot.prompt_re),
+            "data_prompt": d}
+
+
+def make_figure(l1, l5):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(1, 3, figsize=(13, 3.6))
+    t1 = np.arange(l1["doppler"].shape[0])
+    for ch in range(l1["doppler"].shape[1]):
+        axes[0].plot(t1, l1["doppler"][:, ch], lw=0.8,
+                     label=f"PRN {sorted(L1['prns'])[ch] + 1}")
+    for d in L1["dops"]:
+        axes[0].axhline(d, color="k", lw=0.4, ls=":")
+    axes[0].set(title="L1 bank: Doppler pull-in (int8 capture)",
+                xlabel="block (ms)", ylabel="Doppler (Hz)")
+    axes[0].legend(fontsize=7)
+    axes[1].plot(t1, l1["cn0"], lw=0.8)
+    axes[1].axhline(45.0, color="k", lw=0.4, ls=":")
+    axes[1].set(title="L1 C/N0 estimate", xlabel="block (ms)",
+                ylabel="C/N0 (dB-Hz)")
+    t5 = np.arange(l5["data_prompt"].shape[0])
+    axes[2].plot(t5, l5["pilot_prompt"][:, 0], lw=0.8, label="pilot I")
+    axes[2].plot(t5, l5["data_prompt"][:, 0], lw=0.8, label="data I (nav)")
+    axes[2].set(title="L5 dual: pilot lock + nav symbols",
+                xlabel="block (ms)", ylabel="prompt")
+    axes[2].legend(fontsize=7)
+    fig.tight_layout()
+    OUT_IMG.mkdir(parents=True, exist_ok=True)
+    fig.savefig(OUT_IMG / "coldstart_pipeline.png", dpi=130)
+
+
+if __name__ == "__main__":
+    cap_dir = pathlib.Path(ARGS.capture_dir)
+    cap_dir.mkdir(parents=True, exist_ok=True)
+    OUT_DATA.mkdir(parents=True, exist_ok=True)
+    t0 = time.time()
+    l1_path = cap_dir / "gpsl1_8192kHz.int8"
+    l5_path = cap_dir / "gpsl5_32768kHz.int8"
+    if not l1_path.exists():
+        synthesize_l1(l1_path)
+    if not l5_path.exists():
+        synthesize_l5(l5_path)
+    report = {
+        "backend": jax.default_backend(),
+        "device": jax.devices()[0].device_kind,
+        "native_iq_decoder": iq_mod.native_available(),
+        "captures": {
+            "l1": {"path": str(l1_path), "bytes": l1_path.stat().st_size,
+                   "fs_hz": L1["fs"], "ms": L1["ms"]},
+            "l5": {"path": str(l5_path), "bytes": l5_path.stat().st_size,
+                   "fs_hz": L5["fs"], "ms": L5["ms"]},
+        },
+    }
+    # IQFile applies the inverse front-end scale during decode.
+    l1_curves = run_l1(l1_path, report)
+    l5_curves = run_l5(l5_path, report)
+    report["wall_s"] = time.time() - t0
+    (OUT_DATA / "observables.json").write_text(json.dumps(report, indent=1))
+    make_figure(l1_curves, l5_curves)
+    print(json.dumps(report, indent=1))

@@ -222,6 +222,47 @@ class TestTrackBankSharded:
             rtol=1e-4, atol=5e-3,
         )
 
+    def test_k2048_eight_shard_stress(self):
+        # Realistic-scale mesh story: K=2048 over 8 channel shards (per-shard
+        # K=256 — the real pod geometry where 2 chips put the 1024-channel
+        # 32.768 MHz bank inside real time). Channels are independent given a
+        # shared front end, so an unsharded run of the first-8-channel subset
+        # pins per-channel correctness at scale without a 2048-channel oracle.
+        system = GPSL1()
+        N = 8192
+        fs = N / 1e-3
+        num_k, num_ms = 2048, 2
+        sig, _ = gen_signal(system, 0, 800.0, N * num_ms, duration=num_ms * 1e-3)
+        sre, sim = soa(sig)
+        sre = sre.reshape(num_ms, N)
+        sim = sim.reshape(num_ms, N)
+        config = TrackConfig.for_system(
+            system, fs, N, algorithm="pallas_bank_rows", chans_per_step=32
+        )
+        rng = np.random.default_rng(0)
+        dops = rng.uniform(-4000.0, 4000.0, num_k)
+        states = init_state(
+            np.arange(num_k) % 32, carrier_doppler=dops,
+            code_phase=rng.uniform(0, 1023, num_k),
+        )
+        mesh = channel_time_mesh(num_chan_shards=8, num_time_shards=1)
+        final, out = track_bank_sharded(
+            config, jnp.asarray(system.codes), states, sre, sim, mesh=mesh
+        )
+        assert final.code_phase.shape == (num_k,)
+        sub = jax.tree.map(lambda x: x[:8], states)
+        final8, out8 = track_bank(
+            config, jnp.asarray(system.codes), sub, sre, sim
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.prompt_re)[:, :8], np.asarray(out8.prompt_re),
+            rtol=1e-5, atol=1e-2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(final.code_phase)[:8], np.asarray(final8.code_phase),
+            rtol=0, atol=1e-4,
+        )
+
     def test_output_sharding_layout(self):
         system, config, states, sre, sim = self._scenario(num_k=8, num_ms=4)
         mesh = channel_time_mesh(num_chan_shards=4, num_time_shards=2)
