@@ -200,9 +200,19 @@ def run_track_benchmark(config: dict) -> dict:
 
     fs = num_samples / 1e-3
     device = _resolve_device(processor)
+    # Launch shape from the autotune cache (the occupancy-configuration
+    # analog) — kernel defaults otherwise.
+    launch = {}
+    if algorithm.startswith("pallas_bank"):
+        from .autotune import best_launch
+
+        launch = best_launch(
+            algorithm, num_channels, num_samples, num_ants, num_correlators,
+            config["GNSS"],
+        )
     cfg = TrackConfig.for_system(
         system, fs, num_samples, num_correlators=num_correlators,
-        algorithm=algorithm,
+        algorithm=algorithm, **launch,
     )
     prns = np.arange(num_channels) % system.codes.shape[1]
     dops = np.linspace(-4000.0, 4000.0, num_channels)
@@ -232,6 +242,7 @@ def run_track_benchmark(config: dict) -> dict:
     stats = benchmark_differential(make_fn, blocks, trials=trials)
     results = dict(config)
     results.update(stats.to_dict())
+    results.update(launch)
     floor = max(stats.median, 1e-9)   # median: differential min can clamp ~0
     results["realtime_ratio"] = floor / REALTIME_BOUND_S
     results["samples_per_s"] = num_channels * num_samples * num_ants / floor

@@ -1786,7 +1786,7 @@ def _bank_comp_kernel(
     s_ref, shalo_ref, codecol_ref, out_ref, z_ref,
     *, code_length: int, tile_rows: int, crt: int, num_j: int,
     rho_nom: float, fcar_nom_cyc: float, chans_per_step: int,
-    num_tiles: int, mm_dtype=jnp.bfloat16, contract: str = "flat",
+    num_tiles: int, mm_dtype=jnp.bfloat16, contract: str = "flatz",
     mac_precision=jax.lax.Precision.HIGHEST, z_dtype=jnp.float32,
     ablate: str = "none",
 ):
@@ -2003,7 +2003,7 @@ def correlate_pallas_bank_comp(
     code_tiles: jax.Array | None = None,
     chans_per_step: int = 8,
     matmul_dtype=jnp.bfloat16,
-    contract: str = "flat",
+    contract: str = "flatz",
     mac_precision=jax.lax.Precision.HIGHEST,
     z_dtype=jnp.float32,
     ablate: str = "none",

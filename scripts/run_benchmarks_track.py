@@ -27,9 +27,25 @@ params = {
     "algorithm": ["pallas_bank_auto", "pallas_bank", "xla_bank"],
     "processor": ["TPU"],
     "blocks": 8,
-    "trials": 5,
+    "trials": 7,
+}
+
+# Multi-antenna closed loop (the reference's full sweep matrix is M in {1,4},
+# `/root/reference/paper/paper.tex:304-309`): beamformed M=4 bank rows at the
+# north-star rate, L in {3,7}.
+m4_params = {
+    "GNSS": "GPSL1",
+    "num_samples": 32768,
+    "num_channels": [64, 256],
+    "num_ants": 4,
+    "num_correlators": [3, 7],
+    "algorithm": ["pallas_bank_auto"],
+    "processor": ["TPU"],
+    "blocks": 8,
+    "trials": 7,
 }
 
 if __name__ == "__main__":
     out = pathlib.Path(__file__).parent.parent / "data" / "benchmarks" / "track"
     run_sweep(params, run_track_benchmark, out, prefix="TrackBenchmark")
+    run_sweep(m4_params, run_track_benchmark, out, prefix="TrackBenchmark")
