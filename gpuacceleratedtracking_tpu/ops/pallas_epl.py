@@ -2123,7 +2123,11 @@ def correlate_pallas_bank_comp(
         axis=-1,
     )                                                     # [K, 4]
 
+    # Output blocks are [2G, 2ALp]: Pallas requires the sublane block dim
+    # divisible by 8, so the group size is rounded up to a multiple of 4
+    # (padded channels are sliced off like padded K).
     g = max(int(chans_per_step), 1)
+    g = (g + 3) // 4 * 4
     num_kp = pl.cdiv(num_k, g) * g
     if num_kp != num_k:
         pad = ((0, num_kp - num_k),)
@@ -2217,18 +2221,23 @@ def bank_algorithm_for(
     nominal_code_frequency: float | None = None,
     tile_rows: int = 256,
     max_chips_per_sample: float | None = None,
+    num_ants: int = 1,
 ) -> str:
     """Resolve the best bank kernel for a scenario.
 
-    The per-row kernel wins at high sampling rates (few chips per 128-sample
-    row); the transition kernel covers low rates and L5-class chip rates.
+    At high sampling rates (few chips per 128-sample row): the per-row
+    kernel for single-antenna banks, the composite kernel for multi-antenna
+    banks (antennas/taps ride MXU output columns, and the rows kernel's
+    A>1 store pattern SIGABRTs this libtpu's layout inference on real
+    hardware). The transition kernel covers low rates and L5-class chip
+    rates.
     """
     try:
         _rows_geometry(
             num_samples, tile_rows, float(sampling_frequency), code_length,
             nominal_code_frequency, max_chips_per_sample,
         )
-        return "pallas_bank_rows"
+        return "pallas_bank_rows" if num_ants == 1 else "pallas_bank_comp"
     except ValueError:
         return "pallas_bank"
 
@@ -2256,12 +2265,13 @@ def correlate_pallas_bank_auto(
     algo = bank_algorithm_for(
         signal_re.shape[-1], float(sampling_frequency), code_length,
         nominal_code_frequency, tile_rows, max_chips_per_sample,
+        num_ants=signal_re.shape[0] if signal_re.ndim == 2 else 1,
     )
-    fn = (
-        correlate_pallas_bank_rows
-        if algo == "pallas_bank_rows"
-        else correlate_pallas_bank
-    )
+    fn = {
+        "pallas_bank_rows": correlate_pallas_bank_rows,
+        "pallas_bank_comp": correlate_pallas_bank_comp,
+        "pallas_bank": correlate_pallas_bank,
+    }[algo]
     return fn(
         signal_re, signal_im, codes, prn, carrier_frequency,
         sampling_frequency, carrier_phase, code_frequency, code_phase,

@@ -301,7 +301,7 @@ def _bank_code_tile_kwargs(
     if algorithm == "pallas_bank_auto":
         algorithm = pallas_epl.bank_algorithm_for(
             num_samples or config.num_samples, config.sampling_frequency,
-            config.code_length, config.code_frequency,
+            config.code_length, config.code_frequency, num_ants=num_ants,
             **({} if config.tile_rows is None
                else {"tile_rows": config.tile_rows}),
         )

@@ -58,12 +58,15 @@ def track_table():
     if not rows:
         return
     print("\n### Closed-loop track sweep (median ms/block; rt chans)\n")
-    print("| algorithm | fs MHz | K | ms/block | rt chans |")
-    print("|---|---|---|---|---|")
+    print("| algorithm | fs MHz | K | M | L | ms/block | rt chans |")
+    print("|---|---|---|---|---|---|---|")
     for r in sorted(rows, key=lambda r: (r["algorithm"], -r["num_samples"],
+                                         r.get("num_ants", 1),
+                                         r.get("num_correlators", 3),
                                          -r["num_channels"])):
         print(f"| `{r['algorithm']}` | {r['num_samples']/1e3:.3f} "
-              f"| {r['num_channels']} | {r['Median']*1e3:.2f} "
+              f"| {r['num_channels']} | {r.get('num_ants', 1)} "
+              f"| {r.get('num_correlators', 3)} | {r['Median']*1e3:.2f} "
               f"| {min(r['realtime_channels'], r['num_channels']*1000):.0f} |")
 
 
