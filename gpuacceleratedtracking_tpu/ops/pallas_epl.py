@@ -1320,6 +1320,31 @@ def _row_chip_setup(
     return q_all, l_all, b_all
 
 
+def _group_lane_phasors(params_ref, k, *, num_g: int):
+    """In-kernel carrier lane phasors ``[G, 128]`` cos/sin for a group.
+
+    ``lane_phasor[g, l] = exp(2 pi i frac(f_cyc_g * l))``. Unlike row phasors
+    (a ``[TR, 1]`` column), the lane phasor is a full 128-lane vector, so the
+    in-kernel transcendental runs at full lane utilization — and computing it
+    here removes the per-block XLA rebuild + per-step DMA of hoisted
+    ``[K, 8, 128]`` phasor planes from the closed-loop scan (Doppler changes
+    every block, so those planes can never be hoisted out of the loop).
+    """
+    fc_col = jnp.concatenate(
+        [
+            jnp.full((1, 1), params_ref[k * num_g + g, 0], jnp.float32)
+            for g in range(num_g)
+        ],
+        axis=0,
+    )                                                     # [G, 1]
+    lane = jax.lax.broadcasted_iota(
+        jnp.int32, (num_g, LANES), 1
+    ).astype(jnp.float32)
+    cyc = fc_col * lane
+    theta = jnp.float32(_TWO_PI) * (cyc - jnp.floor(cyc))
+    return jnp.cos(theta), jnp.sin(theta)                 # [G, 128]
+
+
 def _group_row_phasors(
     params_ref, base_ref, k, i, n0, n_row, *, num_g: int,
     fcar_nom_cyc: float, rows: int,
@@ -1397,11 +1422,11 @@ def _row_replica(
 
 
 def _bank_rows_kernel(
-    params_ref, base_ref, lanecos_ref, lanesin_ref,
-    sre_ref, sim_ref, codecol_ref, outre_ref, outim_ref,
-    *, deltas: tuple, code_length: int, tile_rows: int, crt: int, num_j: int,
+    params_ref, base_ref, *refs,
+    deltas: tuple, code_length: int, tile_rows: int, crt: int, num_j: int,
     rho_nom: float, fcar_nom_cyc: float, chans_per_step: int,
     mm_dtype=jnp.bfloat16, tap_mac: str = "sum2d", ablate: str = "none",
+    lane_src: str = "kernel",
 ):
     """One (channel-group, tile) step of the per-row boundary bank correlator.
 
@@ -1422,6 +1447,11 @@ def _bank_rows_kernel(
     fetch, `/root/reference/src/algorithms.jl:72`). Carrier wipe-off and the
     tap MAC (one MXU contraction ``[A, T] x [L, T]``) are unchanged.
     """
+    if lane_src == "hoisted":
+        (lanecos_ref, lanesin_ref,
+         sre_ref, sim_ref, codecol_ref, outre_ref, outim_ref) = refs
+    else:
+        sre_ref, sim_ref, codecol_ref, outre_ref, outim_ref = refs
     k = pl.program_id(0)
     i = pl.program_id(1)
     tile = tile_rows * LANES
@@ -1469,9 +1499,18 @@ def _bank_rows_kernel(
             params_ref, base_ref, k, i, n0, n_row, num_g=num_g,
             fcar_nom_cyc=fcar_nom_cyc, rows=tile_rows,
         )                                                 # [TR, G]
+        if lane_src != "hoisted":
+            lcos_all, lsin_all = _group_lane_phasors(
+                params_ref, k, num_g=num_g
+            )                                             # [G, 128]
 
     def row_phasors(g):
         return rowcos_all[:, g : g + 1], rowsin_all[:, g : g + 1]
+
+    def lane_phasors(g):
+        if lane_src == "hoisted":
+            return lanecos_ref[g, 0:1, :], lanesin_ref[g, 0:1, :]
+        return lcos_all[g : g + 1, :], lsin_all[g : g + 1, :]
 
     if ablate == "empty":
         # Nothing per channel: isolates grid sequencing + block DMA cost.
@@ -1493,13 +1532,12 @@ def _bank_rows_kernel(
                 num_g=num_g, num_j=num_j, crt=crt, e8=e8, mm_dtype=mm_dtype,
             )
 
-        # Carrier wipe-off: in-kernel row phasors x hoisted lane phasors.
+        # Carrier wipe-off: in-kernel row phasors x lane phasors.
         if ablate in ("no_carrier", "floor"):
             dw_re, dw_im = sre, sim
         else:
             rc, rs = row_phasors(g)                               # [TR, 1]
-            lcos = lanecos_ref[g, 0:1, :]                         # [1, 128]
-            lsin = lanesin_ref[g, 0:1, :]
+            lcos, lsin = lane_phasors(g)                          # [1, 128]
             cos = rc * lcos - rs * lsin
             sin = rs * lcos + rc * lsin
             dw_re = sre * cos + sim * sin
@@ -1575,6 +1613,7 @@ def correlate_pallas_bank_rows(
     tap_mac: str = "sum2d",
     ablate: str = "none",
     pin_dma: str = "",
+    lane_src: str = "kernel",
 ) -> tuple[jax.Array, jax.Array]:
     """Per-row boundary fused EPL bank correlator (high-sample-rate flagship).
 
@@ -1661,11 +1700,14 @@ def correlate_pallas_bank_rows(
         params = jnp.pad(params, pad + ((0, 0),), mode="edge")
         codecol = jnp.pad(codecol, pad + ((0, 0), (0, 0)), mode="edge")
 
-    extra_inputs, extra_specs = _hoisted_lane_phasors(params, g)
+    if lane_src == "hoisted":
+        extra_inputs, extra_specs = _hoisted_lane_phasors(params, g)
+    else:
+        extra_inputs, extra_specs = [], []
     # DMA-ablation probes (perf diagnosis only — results become wrong): pin a
     # block family's index map to block 0 so it is fetched once, isolating
     # that family's per-step DMA cost.
-    if "phasors" in pin_dma:
+    if "phasors" in pin_dma and extra_specs:
         lane_spec = pl.BlockSpec(
             (g, 8, LANES), lambda k, i: (0, 0, 0), memory_space=pltpu.VMEM
         )
@@ -1708,6 +1750,7 @@ def correlate_pallas_bank_rows(
         tile_rows=int(tile_rows), crt=int(crt), num_j=int(num_j),
         rho_nom=rho_nom, fcar_nom_cyc=fcar_nom_cyc, chans_per_step=g,
         mm_dtype=matmul_dtype, tap_mac=tap_mac, ablate=ablate,
+        lane_src=lane_src,
     )
     acc_re, acc_im = pl.pallas_call(
         kernel,
@@ -1782,13 +1825,12 @@ def prepare_bank_code_tiles_comp(
 
 
 def _bank_comp_kernel(
-    params_ref, base_ref, lanecos_ref, lanesin_ref,
-    s_ref, shalo_ref, codecol_ref, out_ref, z_ref,
-    *, code_length: int, tile_rows: int, crt: int, num_j: int,
+    params_ref, base_ref, *refs,
+    code_length: int, tile_rows: int, crt: int, num_j: int,
     rho_nom: float, fcar_nom_cyc: float, chans_per_step: int,
     num_tiles: int, mm_dtype=jnp.bfloat16, contract: str = "flatz",
     mac_precision=jax.lax.Precision.HIGHEST, z_dtype=jnp.float32,
-    ablate: str = "none",
+    ablate: str = "none", lane_src: str = "kernel",
 ):
     """One (channel-group, tile) step of the composite bank correlator.
 
@@ -1825,6 +1867,11 @@ def _bank_comp_kernel(
     a tile multiple; their S values ride a dedicated ``[2AL, 128]`` input
     (zero whenever N < n_pad, so the correction is universally safe).
     """
+    if lane_src == "hoisted":
+        (lanecos_ref, lanesin_ref,
+         s_ref, shalo_ref, codecol_ref, out_ref, z_ref) = refs
+    else:
+        s_ref, shalo_ref, codecol_ref, out_ref, z_ref = refs
     k = pl.program_id(0)
     i = pl.program_id(1)
     tile = tile_rows * LANES
@@ -1856,6 +1903,10 @@ def _bank_comp_kernel(
         params_ref, base_ref, k, i, n0, n_row, num_g=num_g,
         fcar_nom_cyc=fcar_nom_cyc, rows=e8,
     )                                                     # [e8, G]
+    if lane_src != "hoisted":
+        lcos_all, lsin_all = _group_lane_phasors(
+            params_ref, k, num_g=num_g
+        )                                                 # [G, 128]
 
     if contract == "diag":
         # Constants of the transpose-free two-stage contraction, shared by
@@ -1897,8 +1948,12 @@ def _bank_comp_kernel(
         )
         rc = rowcos_all[:, g : g + 1]                     # [e8, 1]
         rs = rowsin_all[:, g : g + 1]
-        lcos = lanecos_ref[g, 0:1, :]                     # [1, 128]
-        lsin = lanesin_ref[g, 0:1, :]
+        if lane_src == "hoisted":
+            lcos = lanecos_ref[g, 0:1, :]                 # [1, 128]
+            lsin = lanesin_ref[g, 0:1, :]
+        else:
+            lcos = lcos_all[g : g + 1, :]
+            lsin = lsin_all[g : g + 1, :]
         cos = rc * lcos - rs * lsin                       # [e8, 128]
         sin = rs * lcos + rc * lsin
         zc = (cos * rep).astype(z_dtype)
@@ -2007,6 +2062,7 @@ def correlate_pallas_bank_comp(
     mac_precision=jax.lax.Precision.HIGHEST,
     z_dtype=jnp.float32,
     ablate: str = "none",
+    lane_src: str = "kernel",
 ) -> tuple[jax.Array, jax.Array]:
     """Composite-plane fused EPL bank correlator (wide-MXU flagship).
 
@@ -2134,7 +2190,10 @@ def correlate_pallas_bank_comp(
         params = jnp.pad(params, pad + ((0, 0),), mode="edge")
         codecol = jnp.pad(codecol, pad + ((0, 0), (0, 0)), mode="edge")
 
-    extra_inputs, extra_specs = _hoisted_lane_phasors(params, g)
+    if lane_src == "hoisted":
+        extra_inputs, extra_specs = _hoisted_lane_phasors(params, g)
+    else:
+        extra_inputs, extra_specs = [], []
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -2176,7 +2235,7 @@ def correlate_pallas_bank_comp(
         fcar_nom_cyc=fcar_nom_cyc, chans_per_step=g,
         num_tiles=int(num_tiles), mm_dtype=matmul_dtype,
         contract=contract, mac_precision=mac_precision,
-        z_dtype=z_dtype, ablate=ablate,
+        z_dtype=z_dtype, ablate=ablate, lane_src=lane_src,
     )
     raw = pl.pallas_call(
         kernel,

@@ -66,6 +66,16 @@ def _build_lib() -> Optional[ctypes.CDLL]:
                                          ctypes.c_int64]
         lib.iqring_pop_block.restype = ctypes.c_int64
         lib.iqring_destroy.argtypes = [ctypes.c_void_p]
+        lib.resampler_create.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                                         ctypes.c_int, ctypes.c_double]
+        lib.resampler_create.restype = ctypes.c_void_p
+        lib.resampler_out_count.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.resampler_out_count.restype = ctypes.c_int64
+        lib.resampler_process.argtypes = [ctypes.c_void_p, f32p, f32p,
+                                          ctypes.c_int64, f32p, f32p,
+                                          ctypes.c_int64]
+        lib.resampler_process.restype = ctypes.c_int64
+        lib.resampler_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -154,6 +164,73 @@ class IQFile:
 
     def __exit__(self, *exc):
         self.close()
+
+
+class Resampler:
+    """Streaming polyphase rational resampler (native C++).
+
+    Converts front-end sample rates (10.000, 16.368, 25.000 MS/s ...) to the
+    kernel-friendly power-of-two rates (8.192, 32.768 MS/s) by a rational
+    factor ``up/down`` with a Kaiser-windowed-sinc anti-aliasing prototype.
+    Carries filter history across `process` calls, so chunked input (file
+    reads, ring pops) yields identical output to one-shot conversion.
+
+    >>> rs = Resampler.for_rates(10.0e6, 8.192e6)   # up=512, down=625
+    >>> out_re, out_im = rs.process(re, im)
+    """
+
+    def __init__(self, up: int, down: int, taps_per_phase: int = 24,
+                 kaiser_beta: float = 8.0):
+        lib = _build_lib()
+        if lib is None:
+            raise RuntimeError("native iqstream library unavailable")
+        g = np.gcd(int(up), int(down))
+        self.up, self.down = int(up) // g, int(down) // g
+        self._lib = lib
+        self._h = lib.resampler_create(
+            self.up, self.down, int(taps_per_phase), float(kaiser_beta)
+        )
+        if not self._h:
+            raise MemoryError("resampler_create failed")
+
+    @classmethod
+    def for_rates(cls, fs_in: float, fs_out: float, max_den: int = 1 << 15,
+                  **kw) -> "Resampler":
+        """Build from sample rates; the ratio must be rational within
+        ``max_den`` (true for any pair of real front-end/kernel rates)."""
+        from fractions import Fraction
+
+        frac = Fraction(fs_out / fs_in).limit_denominator(max_den)
+        got = fs_in * frac.numerator / frac.denominator
+        if abs(got - fs_out) > 1e-6 * fs_out:
+            raise ValueError(
+                f"rate ratio {fs_out}/{fs_in} not rational within 1/{max_den}"
+            )
+        return cls(frac.numerator, frac.denominator, **kw)
+
+    def process(self, re: np.ndarray, im: np.ndarray):
+        """Consume SoA input planes; return the resampled SoA planes."""
+        re = np.ascontiguousarray(re, np.float32)
+        im = np.ascontiguousarray(im, np.float32)
+        n_out = int(self._lib.resampler_out_count(self._h, re.size))
+        out_re = np.empty(n_out, np.float32)
+        out_im = np.empty(n_out, np.float32)
+        got = int(self._lib.resampler_process(
+            self._h, _fptr(re), _fptr(im), re.size,
+            _fptr(out_re), _fptr(out_im), n_out,
+        ))
+        return out_re[:got], out_im[:got]
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.resampler_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 class IQRing:

@@ -14,6 +14,7 @@
 // Exposed as a plain C ABI consumed via ctypes (no pybind11 in this image).
 
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -202,6 +203,162 @@ void iqring_destroy(void* handle) {
   if (!r) return;
   std::free(r->re);
   std::free(r->im);
+  delete r;
+}
+
+// ---------------------------------------------------------------------------
+// Polyphase rational resampler (streaming, complex SoA)
+//
+// Front ends deliver IQ at whatever their reference clock divides to (10.000,
+// 16.368, 25.000 MS/s ...); the correlator kernels want power-of-two samples
+// per 1 ms block (8.192, 32.768 MS/s) so the time axis tiles the 8x128 vregs
+// without padding waste. This converts by a rational factor up/down with a
+// Kaiser-windowed-sinc anti-aliasing prototype evaluated polyphase: each
+// output taps only `taps_per_phase` history samples, so cost is
+// O(taps_per_phase) per output sample regardless of up/down magnitude.
+// Streaming: carries filter history across calls, so arbitrary chunking of
+// the input (file reads, ring pops) yields bit-identical output.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+double bessel_i0(double x) {
+  // Modified Bessel I0 by power series (converges fast for |x| <= ~20).
+  double sum = 1.0, term = 1.0;
+  for (int k = 1; k < 64; ++k) {
+    term *= (x / (2.0 * k)) * (x / (2.0 * k));
+    sum += term;
+    if (term < 1e-16 * sum) break;
+  }
+  return sum;
+}
+
+}  // namespace
+
+struct Resampler {
+  int64_t up, down;
+  int taps_per_phase;     // history samples each output consumes
+  float* h;               // [up * taps_per_phase] polyphase filter bank
+  float* hist_re;         // [hist_cap] input history (absolute indexing)
+  float* hist_im;
+  int64_t hist_cap;       // power-of-two ring capacity >= taps_per_phase
+  int64_t n_in;           // total inputs consumed (absolute)
+  int64_t next_out;       // next output index m (absolute)
+};
+
+// up/down: rational rate ratio fs_out = fs_in * up / down (callers should
+// divide out the gcd). taps_per_phase: history length per output (16-32 is
+// transparent for GNSS work); kaiser_beta ~ 8 gives ~80 dB stopband.
+void* resampler_create(int64_t up, int64_t down, int taps_per_phase,
+                       double kaiser_beta) {
+  if (up <= 0 || down <= 0 || taps_per_phase < 2) return nullptr;
+  Resampler* r = new Resampler;
+  r->up = up;
+  r->down = down;
+  r->taps_per_phase = taps_per_phase;
+  const int64_t ntaps = up * taps_per_phase;
+  r->h = static_cast<float*>(std::malloc(sizeof(float) * ntaps));
+  r->hist_cap = 1;
+  while (r->hist_cap < 2 * taps_per_phase) r->hist_cap <<= 1;
+  r->hist_re = static_cast<float*>(std::calloc(r->hist_cap, sizeof(float)));
+  r->hist_im = static_cast<float*>(std::calloc(r->hist_cap, sizeof(float)));
+  if (!r->h || !r->hist_re || !r->hist_im) {
+    std::free(r->h); std::free(r->hist_re); std::free(r->hist_im);
+    delete r;
+    return nullptr;
+  }
+  // Kaiser-windowed sinc at the up-sampled rate; cutoff at the narrower of
+  // the input/output Nyquist frequencies: fc = 1/max(up, down) (normalized
+  // to the upsampled Nyquist), gain `up` to preserve amplitude.
+  const double fc = 1.0 / static_cast<double>(up > down ? up : down);
+  const double center = 0.5 * static_cast<double>(ntaps - 1);
+  const double i0b = bessel_i0(kaiser_beta);
+  for (int64_t i = 0; i < ntaps; ++i) {
+    const double t = static_cast<double>(i) - center;
+    const double x = fc * t;
+    const double sinc =
+        (t == 0.0) ? 1.0 : std::sin(M_PI * x) / (M_PI * x);
+    const double w_arg = 2.0 * static_cast<double>(i) / (ntaps - 1) - 1.0;
+    const double window =
+        bessel_i0(kaiser_beta * std::sqrt(1.0 - w_arg * w_arg)) / i0b;
+    r->h[i] = static_cast<float>(fc * sinc * window * up);
+  }
+  r->n_in = 0;
+  r->next_out = 0;
+  return r;
+}
+
+// Number of outputs producible once `n_more` further inputs arrive.
+int64_t resampler_out_count(void* handle, int64_t n_more) {
+  Resampler* r = static_cast<Resampler*>(handle);
+  if (!r || n_more < 0) return -1;
+  const int64_t avail = r->n_in + n_more;
+  // Output m needs input index floor(m*down/up) + 1 samples (plus history
+  // already carried): count m with floor(m*down/up) < avail.
+  const int64_t hi = (avail * r->up + r->up - 1) / r->down;
+  return hi > r->next_out ? hi - r->next_out : 0;
+}
+
+// Streaming convert: consumes all n_in inputs, writes up to max_out outputs;
+// returns outputs produced (or -1). Output is delayed by the filter's group
+// delay (taps_per_phase/2 input samples), like any FIR resampler.
+int64_t resampler_process(void* handle, const float* in_re,
+                          const float* in_im, int64_t n, float* out_re,
+                          float* out_im, int64_t max_out) {
+  Resampler* r = static_cast<Resampler*>(handle);
+  if (!r || n < 0) return -1;
+  const int64_t mask = r->hist_cap - 1;
+  int64_t produced = 0;
+  int64_t consumed = 0;
+  while (true) {
+    // Produce every output whose newest needed input is already in history.
+    while (produced < max_out) {
+      const int64_t m = r->next_out;
+      const int64_t num = m * r->down;           // position = num / up
+      const int64_t k = num / r->up;             // newest input index needed
+      if (k >= r->n_in) break;
+      const int64_t phase = num % r->up;
+      const float* hp = r->h + phase;            // h[phase + j*up]
+      float acc_re = 0.0f, acc_im = 0.0f;
+      for (int j = 0; j < r->taps_per_phase; ++j) {
+        const int64_t idx = k - j;
+        if (idx < 0) break;                      // zero history before start
+        const int64_t slot = idx & mask;
+        const float c = hp[static_cast<int64_t>(j) * r->up];
+        acc_re += c * r->hist_re[slot];
+        acc_im += c * r->hist_im[slot];
+      }
+      out_re[produced] = acc_re;
+      out_im[produced] = acc_im;
+      ++produced;
+      ++r->next_out;
+    }
+    if (consumed >= n || produced >= max_out) break;
+    // Feed one more input sample into the history ring.
+    const int64_t slot = r->n_in & mask;
+    r->hist_re[slot] = in_re[consumed];
+    r->hist_im[slot] = in_im[consumed];
+    ++consumed;
+    ++r->n_in;
+  }
+  // Feed any remaining input even when max_out is reached, so the stream
+  // never drops samples (callers size max_out via resampler_out_count).
+  while (consumed < n) {
+    const int64_t slot = r->n_in & mask;
+    r->hist_re[slot] = in_re[consumed];
+    r->hist_im[slot] = in_im[consumed];
+    ++consumed;
+    ++r->n_in;
+  }
+  return produced;
+}
+
+void resampler_destroy(void* handle) {
+  Resampler* r = static_cast<Resampler*>(handle);
+  if (!r) return;
+  std::free(r->h);
+  std::free(r->hist_re);
+  std::free(r->hist_im);
   delete r;
 }
 
