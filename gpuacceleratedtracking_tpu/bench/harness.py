@@ -81,11 +81,12 @@ def run_kernel_benchmark(config: dict) -> dict:
     reps = config.get("reps", 20)
     if reps == "auto":
         # Scale the unroll depth inversely with N so each timed call does
-        # >= ~2 ms of device work: trials=3/reps=8 left 0-us medians across
+        # >= ~1-2 ms of device work: trials=3/reps=8 left 0-us medians across
         # the small-N third of the round-2 sweep (tunnel jitter ~ms-scale
-        # cannot resolve 30-100 us of work). Capped at 256 to bound the
-        # unrolled-XLA compile cost of the 2x-depth twin.
-        reps = int(min(256, max(8, (1 << 22) // num_samples)))
+        # cannot resolve 30-100 us of work). Capped at 128 to bound the
+        # unrolled-XLA compile cost of the 2x-depth twin (the dominant sweep
+        # cost through the tunnel's remote-compile path).
+        reps = int(min(128, max(8, (1 << 22) // num_samples)))
     reps = int(reps)
     trials = int(config.get("trials", 7))
 
@@ -161,6 +162,7 @@ def run_kernel_benchmark(config: dict) -> dict:
 
     results = dict(config)
     results.update(stats.to_dict())
+    results["reps_resolved"] = reps
     # Derived metrics use the MEDIAN: the differential minimum can clamp to
     # ~0 under tunnel noise (CLAUDE.md), which explodes the derived rates.
     floor = max(stats.median, 1e-9)

@@ -131,12 +131,18 @@ def plot_track_benchmark(df, out_path: str):
     with the 1 ms real-time bound (no reference analog — its track benchmark
     is a dead export, `/root/reference/src/GPUAcceleratedTracking.jl:102`)."""
     plt = _mpl()
-    fig, ax = plt.subplots(figsize=(7, 4.2))
-    for (algo, n), grp in df.groupby(["algorithm", "num_samples"]):
+    fig, ax = plt.subplots(figsize=(7.5, 4.4))
+    if "num_ants" not in df:
+        df = df.assign(num_ants=1)
+    keys = ["algorithm", "num_samples", "num_ants", "num_correlators"]
+    for (algo, n, m, l), grp in df.groupby(keys):
         grp = grp.sort_values("num_channels")
+        label = f"{algo} @ {n / 1e3:g} MHz"
+        if (m, l) != (1, 3):
+            label += f" M={m} L={l}"
         ax.loglog(
             grp.num_channels, grp.Median.clip(lower=2e-6),
-            marker="o", ms=4, label=f"{algo} @ {n / 1e3:g} MHz",
+            marker="o", ms=4, label=label,
         )
     ax.axhline(REALTIME_BOUND_S, color="k", ls="--", lw=1, label="real-time")
     ax.set_xlabel("channels K")

@@ -27,7 +27,7 @@ params = {
     # deep-unroll protocol: reps scale inversely with N (>= ~2 ms device
     # work per timed call) so small-N medians clear the tunnel noise floor
     "reps": "auto",
-    "trials": 9,
+    "trials": 7,
 }
 
 # The CPU (XLA-CPU) baseline plays the reference's LoopVectorization SIMD

@@ -23,7 +23,7 @@ params = {
     # deep-unroll protocol: reps scale inversely with N (>= ~2 ms device
     # work per timed call) so small-N medians clear the tunnel noise floor
     "reps": "auto",
-    "trials": 9,
+    "trials": 7,
 }
 
 cpu_params = dict(params, processor="CPU", reps=4, trials=7,

@@ -50,6 +50,11 @@ if ARGS.cpu:
 import numpy as np
 import jax.numpy as jnp
 
+# Cold-start prep stages (capture synthesis, FFT acquisition) run on the host
+# CPU backend: the tunneled TPU lacks FFT support and rejects large one-shot
+# host transfers; only the tracking hot loop belongs on the chip.
+_CPU = jax.local_devices(backend="cpu")[0]
+
 from gpuacceleratedtracking_tpu.acquire import acquire, to_track_states
 from gpuacceleratedtracking_tpu.models import GPSL1, GPSL5, gen_signal
 from gpuacceleratedtracking_tpu.runtime import IQFile, StreamTracker, blocks
@@ -85,6 +90,8 @@ L5 = dict(
 def synthesize_l1(path: pathlib.Path) -> None:
     system = GPSL1()
     total = None
+    ctx = jax.default_device(_CPU)
+    ctx.__enter__()
     for prn, dop, phi in zip(L1["prns"], L1["dops"], L1["phases"]):
         scale = 1.0 + dop / system.center_frequency
         s, _ = gen_signal(
@@ -93,10 +100,13 @@ def synthesize_l1(path: pathlib.Path) -> None:
         )
         total = s if total is None else total + s
     _write_int8(path, np.asarray(total), L1["sigma"], L1["scale"], seed=11)
+    ctx.__exit__(None, None, None)
 
 
 def synthesize_l5(path: pathlib.Path) -> None:
     sys_i, sys_q = GPSL5(), GPSL5(quadrature=True)
+    ctx = jax.default_device(_CPU)
+    ctx.__enter__()
     rng = np.random.default_rng(55)
     nav = np.repeat(rng.choice([-1.0, 1.0], L5["ms"] // 10), 10)
     total = None
@@ -122,6 +132,7 @@ def synthesize_l5(path: pathlib.Path) -> None:
         s = np.asarray(s_i) + np.asarray(s_q)
         total = s if total is None else total + s
     _write_int8(path, total, L5["sigma"], L5["scale"], seed=56)
+    ctx.__exit__(None, None, None)
 
 
 def _write_int8(path, signal, sigma, scale, seed):
@@ -133,6 +144,28 @@ def _write_int8(path, signal, sigma, scale, seed):
     inter[0::2] = re * scale
     inter[1::2] = im * scale
     np.clip(np.rint(inter), -127, 127).astype(np.int8).tofile(path)
+
+
+def _track_chunked(step_fn, states, path, n, count, start_block, scale,
+                   chunk=20):
+    """Run a scan-style tracker over file blocks in bounded dispatches.
+
+    The tunnel rejects large one-shot host->device transfers, and a deployed
+    receiver streams anyway: feed ``chunk`` blocks per dispatch, carry the
+    bank state between dispatches, stack the outputs on the host.
+    """
+    outs = []
+    done = 0
+    while done < count:
+        b = min(chunk, count - done)
+        sre, sim = read_blocks(path, n, b, start_block + done, scale)
+        states, out = step_fn(states, jnp.asarray(sre), jnp.asarray(sim))
+        outs.append(out)
+        done += b
+    stacked = jax.tree.map(
+        lambda *xs: np.concatenate([np.asarray(x) for x in xs]), *outs
+    )
+    return states, stacked
 
 
 def read_blocks(path, n, count, start_block=0, scale=1.0):
@@ -256,10 +289,11 @@ def run_l5(capture: pathlib.Path, report: dict) -> dict:
         sys_q, L5["fs"], L5["n"], algorithm="pallas_bank",
         use_secondary=False, chans_per_step=2,
     )
-    sre, sim = read_blocks(capture, L5["n"], sync_blocks, scale=scale)
-    st1, out1 = track_bank(
-        cfg_sync, jnp.asarray(sys_q.codes), states,
-        jnp.asarray(sre), jnp.asarray(sim),
+    st1, out1 = _track_chunked(
+        lambda st, a, b: track_bank(
+            cfg_sync, jnp.asarray(sys_q.codes), st, a, b
+        ),
+        states, capture, L5["n"], sync_blocks, 0, scale,
     )
     # Stage 2 — NH20 sync from the locked prompts (skip the pull-in
     # transient), then align the block counter so overlay wipe-off is in
@@ -287,11 +321,12 @@ def run_l5(capture: pathlib.Path, report: dict) -> dict:
     # atan2 loop + data-component nav-symbol demodulation.
     cfg_dual = dual_config(cfg_sync)
     rest = L5["ms"] - sync_blocks
-    sre, sim = read_blocks(capture, L5["n"], rest, start_block=sync_blocks,
-                           scale=scale)
-    st2, out2 = track_bank_dual(
-        cfg_dual, jnp.asarray(sys_i.codes), jnp.asarray(sys_q.codes),
-        st_dual, jnp.asarray(sre), jnp.asarray(sim),
+    st2, out2 = _track_chunked(
+        lambda st, a, b: track_bank_dual(
+            cfg_dual, jnp.asarray(sys_i.codes), jnp.asarray(sys_q.codes),
+            st, a, b,
+        ),
+        st_dual, capture, L5["n"], rest, sync_blocks, scale,
     )
     dop = np.asarray(out2.pilot.carrier_doppler)
     planted = np.asarray([d for _, d in sorted(zip(L5["prns"], L5["dops"]))])
