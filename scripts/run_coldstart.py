@@ -175,7 +175,8 @@ def read_blocks(path, n, count, start_block=0, scale=1.0):
     return (np.stack([o[0] for o in out]), np.stack([o[1] for o in out]))
 
 
-def acquire_band(system, path, n, fs, rounds=6, accept=20.0):
+def acquire_band(system, path, n, fs, rounds=6, accept=20.0,
+                 doppler_step=150.0):
     # accept=20: the noise-only deflection maximum over this search grid sits
     # near sqrt(2 ln(D N)) ~ 5 and C/A cross-correlation impostors reach ~10
     # at strong planted power (measured 9.4); planted satellites read >= ~40.
@@ -183,7 +184,8 @@ def acquire_band(system, path, n, fs, rounds=6, accept=20.0):
     # 150 Hz bins: the default 2/(3T) grid leaves up to ~333 Hz of initial
     # Doppler error, which costs most of a second of PLL pull-in time.
     res = acquire(system, jnp.asarray(sre), jnp.asarray(sim),
-                  np.arange(system.codes.shape[1]), fs, doppler_step=150.0)
+                  np.arange(system.codes.shape[1]), fs,
+                  doppler_step=doppler_step)
     metric = np.asarray(res.peak_metric)
     hits = np.flatnonzero(metric > accept)
     return res, hits
@@ -261,7 +263,12 @@ def run_l5(capture: pathlib.Path, report: dict) -> dict:
     scale = 1.0 / L5["scale"]
     # Acquire on the PILOT code (dataless component; NH flips between the
     # 1 ms rounds are absorbed by noncoherent integration).
-    res, hits = acquire_band(sys_q, capture, L5["n"], L5["fs"], rounds=8)
+    # 50 Hz bins + 16 noncoherent rounds: at this C/N0 the 150 Hz grid's
+    # argmax lands up to 1.5 bins (~230 Hz) off under noise — beyond what the
+    # 120-block pilot pull-in before NH20 sync can absorb. A 50 Hz grid
+    # measured <=50 Hz error on this capture (both satellites).
+    res, hits = acquire_band(sys_q, capture, L5["n"], L5["fs"], rounds=16,
+                             doppler_step=50.0)
     report["l5_acquisition"] = {
         "accepted": [
             {
@@ -284,7 +291,7 @@ def run_l5(capture: pathlib.Path, report: dict) -> dict:
     # sign flips), to collect prompts for secondary sync. Carrier PHASE must
     # settle before the prompt signs are NH-stable: ~100 ms from the ~75 Hz
     # acquisition bin error at this C/N0.
-    sync_blocks = 120
+    sync_blocks = 160
     cfg_sync = TrackConfig.for_system(
         sys_q, L5["fs"], L5["n"], algorithm="pallas_bank",
         use_secondary=False, chans_per_step=2,
@@ -298,7 +305,9 @@ def run_l5(capture: pathlib.Path, report: dict) -> dict:
     # Stage 2 — NH20 sync from the locked prompts (skip the pull-in
     # transient), then align the block counter so overlay wipe-off is in
     # phase for the dual-component tracker.
-    settle = 60
+    # Measured on this capture: the 50 Hz-error channel phase-locks by block
+    # ~110 (sign-match 40/40 from block 120); windows after that read conf ~1.0.
+    settle = 100
     offset, conf = detect_secondary_offset(
         jnp.asarray(np.asarray(out1.prompt_re)[settle:]),
         sys_q.secondary_code,
