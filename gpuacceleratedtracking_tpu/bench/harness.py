@@ -264,7 +264,13 @@ def run_reduction_benchmark(config: dict) -> dict:
     num_correlators = int(config.get("num_correlators", 3))
     algorithm = config.get("algorithm", "cplx_multi")
     processor = config.get("processor", "TPU")
-    reps = int(config.get("reps", 20))
+    reps = config.get("reps", 20)
+    if reps == "auto":
+        # >= ~2 ms of device work per timed call (µs-scale kernels under
+        # ms-scale tunnel jitter): scan-carried reps are compile-free, so
+        # scale deep and inversely with N.
+        reps = int(min(8192, max(256, (1 << 24) // num_samples)))
+    reps = int(reps)
     trials = int(config.get("trials", 7))
 
     red = get_reduction(algorithm)
@@ -276,13 +282,22 @@ def run_reduction_benchmark(config: dict) -> dict:
         jax.random.normal(jax.random.key(1), shape, jnp.float32), device
     )
 
+    # reps ride a `lax.scan` (unroll=32 amortizes loop bookkeeping), not a
+    # Python unroll: these kernels are O(µs), so clearing the ~ms tunnel
+    # noise floor needs thousands of reps per timed call — constant compile
+    # cost under scan, explosive under unrolling. (Scan is safe here: the
+    # reductions are pure XLA ops; the SIGABRT scan-of-pallas caveat in
+    # `timing.benchmark_pipelined` does not apply.)
     def make_fn(r):
         @jax.jit
         def run(scales):
-            total = jnp.float32(0.0)
-            for i in range(r):
-                are, aim = red(prod_re * scales[i], prod_im * scales[i])
-                total = total + are.sum() + aim.sum()
+            def body(total, s):
+                are, aim = red(prod_re * s, prod_im * s)
+                return total + are.sum() + aim.sum(), None
+
+            total, _ = jax.lax.scan(
+                body, jnp.float32(0.0), scales, unroll=32
+            )
             return total
 
         scales = jax.device_put(
@@ -308,7 +323,11 @@ def run_replica_benchmark(config: dict) -> dict:
     num_samples = int(config["num_samples"])
     algorithm = config.get("algorithm", "exact")
     processor = config.get("processor", "TPU")
-    reps = int(config.get("reps", 20))
+    reps = config.get("reps", 20)
+    if reps == "auto":
+        # See run_reduction_benchmark: deep scan-carried reps for small N.
+        reps = int(min(4096, max(32, (1 << 23) // num_samples)))
+    reps = int(reps)
     trials = int(config.get("trials", 7))
     fs = num_samples / 1e-3
 
@@ -320,16 +339,21 @@ def run_replica_benchmark(config: dict) -> dict:
     device = _resolve_device(processor)
     codes = jax.device_put(jnp.asarray(system.codes), device)
 
+    # Scan-carried reps (see run_reduction_benchmark): constant compile cost
+    # at any depth, so small-N configs can clear the tunnel noise floor.
     def make_fn(r):
         @jax.jit
         def run(phases):
-            total = jnp.float32(0.0)
-            for i in range(r):
+            def body(total, phase):
                 rep = gen(
-                    codes, 0, system.code_frequency, fs, phases[i],
+                    codes, 0, system.code_frequency, fs, phase,
                     num_samples, -1, 1, system.code_length,
                 )
-                total = total + rep.sum()
+                return total + rep.sum(), None
+
+            total, _ = jax.lax.scan(
+                body, jnp.float32(0.0), phases, unroll=32
+            )
             return total
 
         phases = jax.device_put(

@@ -16,7 +16,7 @@ params = {
     "processor": ["TPU"],
     # micro-kernels are ~us-scale: deep unrolls lift the
     # differential estimate above the tunnel noise floor
-    "reps": 96,
+    "reps": "auto",
     "trials": 7,
 }
 

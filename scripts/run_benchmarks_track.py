@@ -20,8 +20,11 @@ from gpuacceleratedtracking_tpu.bench import run_track_benchmark, run_sweep
 
 params = {
     "GNSS": "GPSL1",
+    # K=512 is the per-chip share of the north-star K=1024 bank on a 2-chip
+    # channel mesh (`parallel.bank.track_bank_sharded`) — measured so the
+    # multi-chip real-time claim derives from data, not linear extrapolation.
     "num_samples": [4096, 32768],
-    "num_channels": [32, 256, 1024],
+    "num_channels": [32, 256, 512, 1024],
     "num_ants": 1,
     "num_correlators": 3,
     "algorithm": ["pallas_bank_auto", "pallas_bank", "xla_bank"],
