@@ -1573,6 +1573,36 @@ def _bank_rows_kernel(
             outim_ref[g] += acc_im
             continue
 
+        if tap_mac == "rowmm":
+            # Elementwise product on the VPU, but BOTH reduction stages ride
+            # the MXU (lane reduce via a ones contraction, row reduce via a
+            # per-antenna selector contraction): saves the ~40-issue full VPU
+            # reduce tree per tap x I/Q. f32 operands keep the sum
+            # bit-comparable with sum2d (bf16 z would break the
+            # variant-exactness parity tests).
+            atr = num_ants * tile_rows
+            ones_l = jnp.ones((LANES, 8), jnp.float32)
+            # sel[a, j] = 1 where row j belongs to antenna a (j // TR == a).
+            sel = (
+                jax.lax.broadcasted_iota(jnp.int32, (8, atr), 1)
+                // tile_rows
+                == jax.lax.broadcasted_iota(jnp.int32, (8, atr), 0)
+            ).astype(jnp.float32)
+            for l, delta in enumerate(deltas):
+                tap = _flat_shift(rep, delta)[:tile_rows]     # [TR, 128]
+                for out_ref, dw in ((outre_ref, dw_re), (outim_ref, dw_im)):
+                    z = (dw * tap).reshape(atr, LANES)
+                    part = jax.lax.dot_general(
+                        z, ones_l, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                         # [A*TR, 8]
+                    s2 = jax.lax.dot_general(
+                        sel, part, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                         # [8, 8]
+                    out_ref[g, :, l : l + 1] += s2[:num_ants, 0:1]
+            continue
+
         # "sum2d": per-tap elementwise product reduced in native [R, 128]
         # layout — full 8x128 vregs on both axes of the reduction (a flat
         # [1, T] jnp.sum uses 1/8 of every vreg and a serial lane tree; the

@@ -390,6 +390,19 @@ class TestBankRowsKernel:
             code_phase=rng.uniform(0, system.code_length, K),
         )
 
+    def test_rowmm_tap_mac_matches_sum2d(self):
+        # The MXU-reduction tap MAC ("rowmm": ones-vector lane contraction +
+        # per-antenna selector row contraction) must agree with the shipped
+        # full-VPU reduce ("sum2d") to f32 reassociation tolerance (different
+        # reduction order; exactness is not expected or required).
+        case = self._random_case(GPSL1(), 32768, 8, seed=3)
+        a = self._run("pallas_bank_rows", tap_mac="sum2d", chans_per_step=4,
+                      **case)
+        b = self._run("pallas_bank_rows", tap_mac="rowmm", chans_per_step=4,
+                      **case)
+        np.testing.assert_allclose(b[0], a[0], rtol=1e-4, atol=0.3)
+        np.testing.assert_allclose(b[1], a[1], rtol=1e-4, atol=0.3)
+
     @pytest.mark.parametrize("n_samples,k", [(32768, 8), (8192, 5)])
     def test_matches_transition_kernel(self, n_samples, k):
         # Same exact floor/ceil chip arithmetic as the transition kernel up
