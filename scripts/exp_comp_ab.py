@@ -43,6 +43,15 @@ VARIANTS = {
     "comp": (pallas_epl.correlate_pallas_bank_comp, {}),
     "comp_cps8": (pallas_epl.correlate_pallas_bank_comp,
                   {"chans_per_step": 8}),
+    # [TR, 128]-layout z scratch: contraction reshapes [2G, TR, 128] ->
+    # [2G, T] instead of per-channel relayout-at-store.
+    "comp_stack": (pallas_epl.correlate_pallas_bank_comp,
+                   {"contract": "stack"}),
+    # bf16 z halves the composite store + S stream (accuracy: bf16 product
+    # planes, ~1e-3 relative — tracking-grade, not golden-grade).
+    "comp_bf16z": (pallas_epl.correlate_pallas_bank_comp,
+                   {"z_dtype": jnp.bfloat16,
+                    "mac_precision": jax.lax.Precision.DEFAULT}),
 }
 
 

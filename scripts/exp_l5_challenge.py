@@ -7,6 +7,8 @@ K-channel bank at N=32768.
 """
 
 import functools
+import json
+import pathlib
 import time
 
 import numpy as np
@@ -20,6 +22,7 @@ from gpuacceleratedtracking_tpu.ops import registry
 
 REPS1, REPS2 = 4, 12
 system = GPSL5()
+RESULTS = []          # persisted to data/benchmarks/l5_challenge.json
 print("devices:", jax.devices())
 
 
@@ -57,6 +60,9 @@ def bench_single(algo, n, num_ants=4, num_taps=7):
 
     med, best = diff_time(*make(REPS1), *make(REPS2))
     rt = 1e-3 / med if med > 0 else float("inf")
+    RESULTS.append({"algorithm": algo, "num_samples": n, "num_ants": num_ants,
+                    "num_taps": num_taps, "median_s": med, "min_s": best,
+                    "rt_headroom": rt})
     print(f"{algo:13s} N={n:6d} ({n/1e3:5.1f} MHz) M={num_ants} L={num_taps}: "
           f"med {med*1e6:8.1f} us/block  rt headroom {rt:6.1f}x")
 
@@ -91,6 +97,10 @@ def bench_bank(n=32768, num_k=64, num_ants=4, num_taps=7):
 
     med, best = diff_time(*make(REPS1), *make(REPS2))
     rt_ch = num_k * 1e-3 / med if med > 0 else float("inf")
+    RESULTS.append({"algorithm": "pallas_bank", "num_samples": n,
+                    "num_ants": num_ants, "num_taps": num_taps,
+                    "num_channels": num_k, "median_s": med, "min_s": best,
+                    "realtime_channels": rt_ch})
     print(f"pallas_bank   N={n} M={num_ants} L={num_taps} K={num_k}: "
           f"med {med*1e3:7.3f} ms/block -> {rt_ch:6.1f} real-time channels")
 
@@ -99,3 +109,6 @@ for n in (32768, 65536, 131072):
     bench_single("pallas_fused", n)
 bench_single("fused_xla", 32768)
 bench_bank()
+out = pathlib.Path(__file__).parent.parent / "data" / "benchmarks" / "l5_challenge.json"
+out.write_text(json.dumps(RESULTS, indent=1))
+print("saved", out)
