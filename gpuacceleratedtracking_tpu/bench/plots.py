@@ -49,13 +49,25 @@ def plot_kernel_benchmarks(df, out_path: str, title: Optional[str] = None):
             & (df.num_ants == ants)
             & (df.num_correlators == corrs)
         ]
-        for algo, grp in panel.groupby("algorithm"):
+        # One line per (algorithm, processor): the CPU (XLA-CPU SIMD) baseline
+        # rides the same panels as the reference's CPU-vs-GPU overlay
+        # (`/root/reference/scripts/plot_benchmarks.jl`), dashed.
+        keys = ["algorithm"]
+        if "processor" in panel.columns:
+            keys.append("processor")
+        for gkey, grp in panel.groupby(keys):
+            algo, proc = gkey if len(keys) == 2 else (gkey, "TPU")
             grp = grp.sort_values("num_samples")
             fs_mhz = grp.num_samples / 1e3  # N per 1 ms -> kHz -> MHz
             # Median (differential minima can clamp to 0 through the tunnel);
             # clip to the measurement floor so log scale stays drawable.
             t = grp.Median.clip(lower=2e-6)
-            ax.loglog(fs_mhz, t, marker="o", ms=3, label=algo)
+            is_cpu = str(proc).upper() == "CPU"
+            ax.loglog(
+                fs_mhz, t, marker="o", ms=3, ls="--" if is_cpu else "-",
+                alpha=0.6 if is_cpu else 1.0,
+                label=f"{algo} (CPU)" if is_cpu else algo,
+            )
         ax.axhline(REALTIME_BOUND_S, color="k", ls="--", lw=1, label="real-time")
         ax.set_title(f"{gnss}  M={ants}  L={corrs}", fontsize=10)
         ax.set_xlabel("sampling rate [MHz]")
