@@ -72,6 +72,32 @@ def main():
                     "exact per-sample semantics -> ~0.87 ms/block hard floor "
                     "for this algorithm class on one v5e core",
         },
+        # Round-3 refinement: per-channel [~256,128]-plane op decomposition
+        # (1 plane op ~ 33 vreg issues at tile_rows=256). The replica
+        # reconstruction — one-hot gather + qmask select + J-1 boundary
+        # compare/select/adds — costs ~21 plane ops and is tap-MAC-
+        # independent, so moving the MAC to the MXU (comp kernel, ~13 VPU
+        # ops saved) only trades it for the z-scratch relayout + MXU waits.
+        # Predicts rows ~ comp within a few % — corroborated by the
+        # interleaved A/B (data/benchmarks/comp_ab.json). Exact-semantics
+        # floor with the MAC on the MXU: ~(21 replica + 8 carrier/composite
+        # + ~6 overhead) = ~35 plane ops = ~1150 issues/channel.
+        "floor_analysis_r3": {
+            "plane_ops_per_channel": {
+                "replica_reconstruct": 21,
+                "carrier_and_composite": 8,
+                "tap_mac_vpu_sum2d": 13,
+                "overhead_dma_setup": 6,
+            },
+            "issues_per_plane_op": 33,
+            "exact_floor_issues_per_channel": 1150,
+            "exact_floor_ms_per_block": 1150 * K / CLOCK_HZ * 1e3,
+            "note": "replica reconstruction dominates once the MAC rides "
+                    "the MXU; 0.87 ms is reachable only by cutting replica "
+                    "plane ops below ~10 (no exact scheme found: one-hot, "
+                    "boundary-step, and bit-packed exp2 formulations all "
+                    "land at 18-21 plane ops)",
+        },
     }
     p = pathlib.Path(__file__).parent.parent / "data" / "benchmarks"
     p.mkdir(parents=True, exist_ok=True)
