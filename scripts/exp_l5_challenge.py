@@ -20,7 +20,7 @@ from gpuacceleratedtracking_tpu.models import (
 )
 from gpuacceleratedtracking_tpu.ops import registry
 
-REPS1, REPS2 = 4, 12
+REPS1, REPS2 = 8, 40   # deep unroll: >= ~5 ms device work per timed call
 system = GPSL5()
 RESULTS = []          # persisted to data/benchmarks/l5_challenge.json
 print("devices:", jax.devices())
