@@ -510,6 +510,25 @@ class TestBankCompKernel:
         np.testing.assert_allclose(got[0], want[0], atol=3e-5 * scale)
         np.testing.assert_allclose(got[1], want[1], atol=3e-5 * scale)
 
+    def test_bf16_z_tracking_grade(self):
+        # Opt-in bf16 composite planes — the one measured flagship win on
+        # chip (1.730 vs 1.818 ms, data/benchmarks/comp_ab.json). bf16
+        # products bound parity at ~1e-3 relative: tracking-grade (far
+        # inside the discriminator noise floor), deliberately not the
+        # golden-exact default.
+        import jax
+
+        case = self._random_case(GPSL1(), 32768, 4, seed=11)
+        want = self._run("pallas_bank_rows", **case)
+        got = self._run(
+            "pallas_bank_comp", **case, chans_per_step=2,
+            z_dtype=jnp.bfloat16,
+            mac_precision=jax.lax.Precision.DEFAULT,
+        )
+        scale = np.abs(want[0]).max()
+        np.testing.assert_allclose(got[0], want[0], atol=4e-3 * scale)
+        np.testing.assert_allclose(got[1], want[1], atol=4e-3 * scale)
+
     def test_golden_prompt(self):
         system = GPSL1()
         N = 32768
