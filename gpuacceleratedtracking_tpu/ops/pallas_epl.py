@@ -2320,6 +2320,12 @@ def bank_algorithm_for(
     A>1 store pattern SIGABRTs this libtpu's layout inference on real
     hardware). The transition kernel covers low rates and L5-class chip
     rates.
+
+    Routing is measurement-backed: the same-process flagship A/B
+    (data/benchmarks/comp_ab.json, K=1024 N=32768 M=1) has rows 1.818 ms
+    vs comp 1.902 ms — the per-channel replica reconstruction dominates
+    both (see roofline.json floor_analysis_r3), so comp's wide-MXU tap MAC
+    only pays off once antennas/taps widen its contraction (M > 1).
     """
     try:
         _rows_geometry(
