@@ -56,7 +56,10 @@ def plot_kernel_benchmarks(df, out_path: str, title: Optional[str] = None):
         if "processor" in panel.columns:
             keys.append("processor")
         for gkey, grp in panel.groupby(keys):
-            algo, proc = gkey if len(keys) == 2 else (gkey, "TPU")
+            # pandas >= 3.0 yields 1-tuples even for single-key groupbys.
+            if not isinstance(gkey, tuple):
+                gkey = (gkey,)
+            algo, proc = gkey if len(gkey) == 2 else (gkey[0], "TPU")
             grp = grp.sort_values("num_samples")
             fs_mhz = grp.num_samples / 1e3  # N per 1 ms -> kHz -> MHz
             # Median (differential minima can clamp to 0 through the tunnel);
