@@ -252,6 +252,82 @@ def run_track_benchmark(config: dict) -> dict:
     return add_metadata(results, processor, algorithm)
 
 
+def run_dual_track_benchmark(config: dict) -> dict:
+    """Benchmark the CLOSED dual-component (data+pilot) L5 tracking loop.
+
+    The north-star capability (BASELINE.md: "GPS L1+L5 channels tracked in
+    real time"): K dual channels run as ONE 2K-channel bank kernel launch per
+    block (`tracking.dual.track_bank_dual` — I5 data + Q5 pilot columns),
+    with NH10/NH20 overlay wipe-off and pilot-driven atan2 loop closure live
+    in the timed path. The reference feeds its GPSL5 system into open-loop
+    kernels only (`/root/reference/scripts/run_benchmarks_gpsl5.jl`; closed
+    loops live in its external Tracking.jl fork and are never GPU-timed).
+
+    Keys as `run_track_benchmark`; ``num_channels`` counts DUAL channels
+    (``bank_channels = 2 K`` correlation channels). ``realtime_channels`` is
+    dual channels per chip.
+    """
+    import numpy as np
+
+    from ..models import GPSL5
+    from ..tracking import TrackConfig, dual_config, init_state, track_bank_dual
+
+    num_samples = int(config["num_samples"])
+    num_channels = int(config.get("num_channels", 1))
+    num_correlators = int(config.get("num_correlators", 3))
+    algorithm = config.get("algorithm", "pallas_bank_auto")
+    processor = config.get("processor", "TPU")
+    blocks = int(config.get("blocks", 8))
+    trials = int(config.get("trials", 7))
+
+    sys_i, sys_q = GPSL5(), GPSL5(quadrature=True)
+    fs = num_samples / 1e-3
+    device = _resolve_device(processor)
+    launch = {}
+    if algorithm.startswith("pallas_bank"):
+        from .autotune import best_launch
+
+        launch = best_launch(
+            algorithm, 2 * num_channels, num_samples, 1, num_correlators,
+            "GPSL5",
+        )
+    cfg = dual_config(TrackConfig.for_system(
+        sys_i, fs, num_samples, num_correlators=num_correlators,
+        algorithm=algorithm, use_secondary=False, **launch,
+    ))
+    num_prns = sys_i.codes.shape[1]
+    prns = np.arange(num_channels) % num_prns
+    dops = np.linspace(-4000.0, 4000.0, num_channels)
+    states = jax.device_put(init_state(prns, carrier_doppler=dops), device)
+    codes_i = jax.device_put(jnp.asarray(sys_i.codes), device)
+    codes_q = jax.device_put(jnp.asarray(sys_q.codes), device)
+
+    def make_fn(b):
+        signal, _ = gen_signal(
+            sys_i, 0, 1500.0, num_samples * b, duration=b * 1e-3,
+            secondary_code=sys_i.secondary_code,
+        )
+        sre, sim = soa(signal)
+        sre = jax.device_put(sre.reshape(b, num_samples), device)
+        sim = jax.device_put(sim.reshape(b, num_samples), device)
+
+        def run():
+            return track_bank_dual(cfg, codes_i, codes_q, states, sre, sim)
+
+        return run, ()
+
+    stats = benchmark_differential(make_fn, blocks, trials=trials)
+    results = dict(config)
+    results.update(stats.to_dict())
+    results.update(launch)
+    floor = max(stats.median, 1e-9)
+    results["bank_channels"] = 2 * num_channels
+    results["realtime_ratio"] = floor / REALTIME_BOUND_S
+    results["samples_per_s"] = 2 * num_channels * num_samples / floor
+    results["realtime_channels"] = num_channels * REALTIME_BOUND_S / floor
+    return add_metadata(results, processor, algorithm)
+
+
 def run_reduction_benchmark(config: dict) -> dict:
     """Benchmark a reduction fusion degree over ``[N, A, L]`` product planes.
 

@@ -2311,6 +2311,7 @@ def bank_algorithm_for(
     tile_rows: int = 256,
     max_chips_per_sample: float | None = None,
     num_ants: int = 1,
+    z_dtype=jnp.float32,
 ) -> str:
     """Resolve the best bank kernel for a scenario.
 
@@ -2326,13 +2327,20 @@ def bank_algorithm_for(
     vs comp 1.902 ms — the per-channel replica reconstruction dominates
     both (see roofline.json floor_analysis_r3), so comp's wide-MXU tap MAC
     only pays off once antennas/taps widen its contraction (M > 1).
+
+    ``z_dtype=bf16`` (tracking-grade accumulator mode) also routes to the
+    composite kernel — the variant the bf16-z win was measured on
+    (data/benchmarks/comp_ab.json: comp-bf16z 1.730 ms vs rows-f32 1.818 ms
+    same-process; closed-loop validation data/benchmarks/bf16z_loop_ab.json).
     """
     try:
         _rows_geometry(
             num_samples, tile_rows, float(sampling_frequency), code_length,
             nominal_code_frequency, max_chips_per_sample,
         )
-        return "pallas_bank_rows" if num_ants == 1 else "pallas_bank_comp"
+        if num_ants > 1 or jnp.dtype(z_dtype) == jnp.dtype(jnp.bfloat16):
+            return "pallas_bank_comp"
+        return "pallas_bank_rows"
     except ValueError:
         return "pallas_bank"
 
@@ -2355,18 +2363,26 @@ def correlate_pallas_bank_auto(
     max_chips_per_sample: float | None = None,
     code_tiles: jax.Array | None = None,
     chans_per_step: int = 1,
+    z_dtype=jnp.float32,
+    mac_precision=jax.lax.Precision.HIGHEST,
 ) -> tuple[jax.Array, jax.Array]:
     """Bank correlator with static per-scenario kernel selection."""
     algo = bank_algorithm_for(
         signal_re.shape[-1], float(sampling_frequency), code_length,
         nominal_code_frequency, tile_rows, max_chips_per_sample,
         num_ants=signal_re.shape[0] if signal_re.ndim == 2 else 1,
+        z_dtype=z_dtype,
     )
     fn = {
         "pallas_bank_rows": correlate_pallas_bank_rows,
         "pallas_bank_comp": correlate_pallas_bank_comp,
         "pallas_bank": correlate_pallas_bank,
     }[algo]
+    extra = (
+        {"z_dtype": z_dtype, "mac_precision": mac_precision}
+        if algo == "pallas_bank_comp"
+        else {}
+    )
     return fn(
         signal_re, signal_im, codes, prn, carrier_frequency,
         sampling_frequency, carrier_phase, code_frequency, code_phase,
@@ -2374,7 +2390,7 @@ def correlate_pallas_bank_auto(
         nominal_code_frequency=nominal_code_frequency,
         nominal_carrier_frequency=nominal_carrier_frequency,
         max_chips_per_sample=max_chips_per_sample, code_tiles=code_tiles,
-        chans_per_step=chans_per_step,
+        chans_per_step=chans_per_step, **extra,
     )
 
 

@@ -54,6 +54,15 @@ class TrackConfig:
     # PLL discriminator: "costas" (data-tolerant, default) or "atan2"
     # (full-range four-quadrant, for dataless pilot components).
     pll_discriminator: str = "costas"
+    # Accumulator z-plane dtype for the composite bank kernel: "f32" (exact)
+    # or "bf16" (tracking-grade: halves the z-stream HBM traffic; measured
+    # ~5% faster at the flagship scenario and parity-tested to ~1e-3 relative
+    # — inside the tracking noise floor, see
+    # tests/test_pallas.py::test_bf16_z_tracking_grade and the on-chip
+    # closed-loop A/B data/benchmarks/bf16z_loop_ab.json). With
+    # "pallas_bank_auto", "bf16" routes single-antenna banks to the composite
+    # kernel (the variant the win was measured on).
+    z_dtype: str = "f32"
     # Coherent post-integration: accumulate the (overlay-wiped) accumulators
     # over this many consecutive blocks before each discriminator/filter
     # update (the Tracking.jl extended-integration role). Extends coherent

@@ -280,6 +280,13 @@ def _bank_kernel_kwargs(config: TrackConfig) -> dict:
             and config.algorithm != "pallas_bank_onehot"
         ):
             kwargs["chans_per_step"] = config.chans_per_step
+    if config.z_dtype == "bf16" and config.algorithm in (
+        "pallas_bank_comp", "pallas_bank_auto",
+    ):
+        # The measured tracking-grade mode (data/benchmarks/comp_ab.json) is
+        # bf16 z-planes WITH default-precision MACs — both halve the stream.
+        kwargs["z_dtype"] = jnp.bfloat16
+        kwargs["mac_precision"] = jax.lax.Precision.DEFAULT
     return kwargs
 
 
@@ -302,6 +309,7 @@ def _bank_code_tile_kwargs(
         algorithm = pallas_epl.bank_algorithm_for(
             num_samples or config.num_samples, config.sampling_frequency,
             config.code_length, config.code_frequency, num_ants=num_ants,
+            z_dtype=jnp.bfloat16 if config.z_dtype == "bf16" else jnp.float32,
             **({} if config.tile_rows is None
                else {"tile_rows": config.tile_rows}),
         )

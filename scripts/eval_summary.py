@@ -29,6 +29,30 @@ def _us(x):
     return f"{x * 1e6:.0f}"
 
 
+def _iqr(row):
+    """Interquartile range of the raw trial times (seconds), or None."""
+    ts = sorted(row.get("times") or [])
+    if len(ts) < 4:
+        return None
+    import statistics
+
+    q = statistics.quantiles(ts, n=4)
+    return q[2] - q[0]
+
+
+def _cell_us(row):
+    """'median±iqr' in µs; trailing '*' flags noise-dominated cells
+    (IQR >= median — the dispersion rule, `paper/paper.tex:147-150`)."""
+    if row is None:
+        return "—"
+    med = row["Median"]
+    iqr = _iqr(row)
+    if iqr is None:
+        return _us(med)
+    flag = "\\*" if iqr >= med and med > 0 else ""
+    return f"{_us(med)}±{_us(iqr)}{flag}"
+
+
 def kernel_table(gnss, processor, num_ants, num_correlators):
     rows = [
         r for r in _load("kernel")
@@ -41,15 +65,16 @@ def kernel_table(gnss, processor, num_ants, num_correlators):
     ns = sorted({r["num_samples"] for r in rows})
     algos = sorted({r["algorithm"] for r in rows})
     print(f"\n### {gnss} {processor} M={num_ants} L={num_correlators} "
-          f"(median µs per 1 ms block)\n")
+          f"(median±IQR µs per 1 ms block; \\* = IQR ≥ median, "
+          "noise-dominated)\n")
     print("| algorithm | " + " | ".join(f"N={n}" for n in ns) + " |")
     print("|---" * (len(ns) + 1) + "|")
     for a in algos:
         cells = []
         for n in ns:
-            m = [r["Median"] for r in rows
+            m = [r for r in rows
                  if r["algorithm"] == a and r["num_samples"] == n]
-            cells.append(_us(m[0]) if m else "—")
+            cells.append(_cell_us(m[0] if m else None))
         print(f"| `{a}` | " + " | ".join(cells) + " |")
 
 
@@ -64,10 +89,109 @@ def track_table():
                                          r.get("num_ants", 1),
                                          r.get("num_correlators", 3),
                                          -r["num_channels"])):
+        iqr = _iqr(r)
+        ms = f"{r['Median']*1e3:.2f}"
+        if iqr is not None:
+            ms += f"±{iqr*1e3:.2f}"
         print(f"| `{r['algorithm']}` | {r['num_samples']/1e3:.3f} "
               f"| {r['num_channels']} | {r.get('num_ants', 1)} "
-              f"| {r.get('num_correlators', 3)} | {r['Median']*1e3:.2f} "
+              f"| {r.get('num_correlators', 3)} | {ms} "
               f"| {min(r['realtime_channels'], r['num_channels']*1000):.0f} |")
+
+
+def dual_track_table():
+    rows = [r for r in _load("track") if r.get("bank_channels")
+            and r.get("GNSS") == "GPSL5"]
+    if not rows:
+        return
+    print("\n### GPS L5 dual-component closed loop "
+          "(K dual channels = 2K bank channels, NH wipe-off + pilot atan2; "
+          "median±IQR ms/block)\n")
+    print("| fs MHz | K dual | bank chans | ms/block | rt dual chans |")
+    print("|---|---|---|---|---|")
+    for r in sorted(rows, key=lambda r: r["num_channels"]):
+        iqr = _iqr(r)
+        ms = f"{r['Median']*1e3:.2f}"
+        if iqr is not None:
+            ms += f"±{iqr*1e3:.2f}"
+        print(f"| {r['num_samples']/1e3:.3f} | {r['num_channels']} "
+              f"| {r['bank_channels']} | {ms} "
+              f"| {min(r['realtime_channels'], r['num_channels']*1000):.0f} |")
+
+
+def mixed_track_table():
+    rows = [r for r in _load("track") if r.get("GNSS") == "GPSL1+GPSL5"]
+    if not rows:
+        return
+    print("\n### Mixed L1+L5 closed loop on ONE chip "
+          "(both banks every block; median±IQR ms/block)\n")
+    print("| L1 chans | L5 dual | total | ms/block | rt ratio "
+          "| chips for real time |")
+    print("|---|---|---|---|---|---|")
+    for r in sorted(rows, key=lambda r: r["l1_channels"]):
+        iqr = _iqr(r)
+        ms = f"{r['Median']*1e3:.2f}"
+        if iqr is not None:
+            ms += f"±{iqr*1e3:.2f}"
+        total = r["l1_channels"] + r["l5_dual_channels"]
+        print(f"| {r['l1_channels']} | {r['l5_dual_channels']} | {total} "
+              f"| {ms} | {r['realtime_ratio']:.2f} "
+              f"| {r['chips_for_realtime']} |")
+
+
+def accuracy_table():
+    path = ROOT / "accumulator_accuracy.json"
+    if not path.exists():
+        return
+    d = json.loads(path.read_text())
+    cells = d["cells"]
+    algos = []
+    for c in cells:
+        for a in c["algorithms"]:
+            if a not in algos:
+                algos.append(a)
+    print("\n### Accumulator SNR vs float64 oracle (dB; noisy "
+          f"multi-satellite front end, K={d['config']['K']}, "
+          f"backend={d['config'].get('backend')})\n")
+    header = [f"{c['GNSS'][3:]} N={c['num_samples']}" for c in cells]
+    print("| algorithm | " + " | ".join(header) + " |")
+    print("|---" * (len(cells) + 1) + "|")
+    for a in algos:
+        row = []
+        for c in cells:
+            e = c["algorithms"].get(a)
+            row.append(f"{e['snr_db']:.0f}" if e and "snr_db" in e else "—")
+        print(f"| `{a}` | " + " | ".join(row) + " |")
+    # dtype-mode cost proper (vs same-formulation f32):
+    extras = []
+    for c in cells:
+        for a, e in c["algorithms"].items():
+            if "max_rel_vs_f32" in e:
+                extras.append((c["GNSS"], c["num_samples"], a,
+                               e["max_rel_vs_f32"]))
+    if extras:
+        worst = max(x[3] for x in extras)
+        print(f"\nDtype-mode cost vs same-formulation f32 (max rel over all "
+              f"cells): {worst:.1e}")
+
+
+def acquire_table():
+    rows = _load("acquire") if (ROOT / "acquire").exists() else []
+    if not rows:
+        return
+    print("\n### PCPS acquisition (host CPU path — the tunneled TPU backend "
+          "has no FFT lowering; median±IQR ms per noncoherent round)\n")
+    print("| GNSS | N | K PRNs | Doppler bins | ms/round | ms/PRN·round |")
+    print("|---|---|---|---|---|---|")
+    for r in sorted(rows, key=lambda r: (r["GNSS"], r["num_samples"],
+                                         r["num_prns"])):
+        iqr = _iqr(r)
+        ms = f"{r['Median']*1e3:.2f}"
+        if iqr is not None:
+            ms += f"±{iqr*1e3:.2f}"
+        print(f"| {r['GNSS']} | {r['num_samples']} | {r['num_prns']} "
+              f"| {r['num_bins']} | {ms} "
+              f"| {r['Median']*1e3/r['num_prns']:.3f} |")
 
 
 def micro_tables():
@@ -127,4 +251,8 @@ if __name__ == "__main__":
     kernel_table("GPSL5", "TPU", 4, 7)
     cpu_vs_tpu()
     track_table()
+    dual_track_table()
+    mixed_track_table()
+    accuracy_table()
+    acquire_table()
     micro_tables()

@@ -16,7 +16,11 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
-from gpuacceleratedtracking_tpu.bench import run_track_benchmark, run_sweep
+from gpuacceleratedtracking_tpu.bench import (
+    run_dual_track_benchmark,
+    run_track_benchmark,
+    run_sweep,
+)
 
 params = {
     "GNSS": "GPSL1",
@@ -48,7 +52,25 @@ m4_params = {
     "trials": 7,
 }
 
+# GPS L5 dual-component closed loop (the north-star L5 leg): K dual
+# channels = 2K-channel bank per launch, NH10/NH20 wipe-off + pilot atan2
+# closure in the timed path. The reference's L5 never closes a loop on GPU
+# (`/root/reference/scripts/run_benchmarks_gpsl5.jl` is open-loop kernels).
+dual_params = {
+    "GNSS": "GPSL5",
+    "num_samples": 32768,
+    "num_channels": [16, 64, 128, 256],
+    "num_correlators": 3,
+    "algorithm": ["pallas_bank_auto"],
+    "processor": ["TPU"],
+    "blocks": 8,
+    "trials": 7,
+}
+
 if __name__ == "__main__":
     out = pathlib.Path(__file__).parent.parent / "data" / "benchmarks" / "track"
     run_sweep(params, run_track_benchmark, out, prefix="TrackBenchmark")
     run_sweep(m4_params, run_track_benchmark, out, prefix="TrackBenchmark")
+    run_sweep(
+        dual_params, run_dual_track_benchmark, out, prefix="DualTrackBenchmark"
+    )

@@ -156,16 +156,24 @@ def _track_chunked(step_fn, states, path, n, count, start_block, scale,
     """
     outs = []
     done = 0
+    dispatch_s = []
     while done < count:
         b = min(chunk, count - done)
         sre, sim = read_blocks(path, n, b, start_block + done, scale)
+        t0 = time.perf_counter()
         states, out = step_fn(states, jnp.asarray(sre), jnp.asarray(sim))
+        jax.block_until_ready(out)
+        np.asarray(jax.tree.leaves(out)[0])   # true fence (tunnel: CLAUDE.md)
+        dispatch_s.append((time.perf_counter() - t0) / b)
         outs.append(out)
         done += b
     stacked = jax.tree.map(
         lambda *xs: np.concatenate([np.asarray(x) for x in xs]), *outs
     )
-    return states, stacked
+    # Median per-block dispatch time = steady-state streaming rate (the
+    # first dispatch carries the jit compile; median rejects it).
+    steady = float(np.median(dispatch_s)) if dispatch_s else None
+    return states, stacked, steady
 
 
 def read_blocks(path, n, count, start_block=0, scale=1.0):
@@ -183,9 +191,14 @@ def acquire_band(system, path, n, fs, rounds=6, accept=20.0,
     sre, sim = read_blocks(path, n, rounds)
     # 150 Hz bins: the default 2/(3T) grid leaves up to ~333 Hz of initial
     # Doppler error, which costs most of a second of PLL pull-in time.
-    res = acquire(system, jnp.asarray(sre), jnp.asarray(sim),
-                  np.arange(system.codes.shape[1]), fs,
-                  doppler_step=doppler_step)
+    # PCPS runs PINNED to the host CPU device: the axon TPU plugin has no
+    # FFT lowering (documented backend limitation, RESULTS.md) — acquisition
+    # is host-side by design; only the tracking loop belongs on the chip.
+    with jax.default_device(_CPU):
+        res = acquire(system, jnp.asarray(sre), jnp.asarray(sim),
+                      np.arange(system.codes.shape[1]), fs,
+                      doppler_step=doppler_step)
+        res = jax.tree.map(np.asarray, res)
     metric = np.asarray(res.peak_metric)
     hits = np.flatnonzero(metric > accept)
     return res, hits
@@ -226,6 +239,7 @@ def run_l1(capture: pathlib.Path, report: dict) -> dict:
         checkpoint_path=ckpt, checkpoint_every=100,
     )
     # First leg: track half the capture, checkpointing along the way ...
+    t_track = time.perf_counter()
     with IQFile(capture, "int8", 1.0 / L1["scale"]) as f:
         first = tracker.run(blocks(f, L1["n"]), max_blocks=L1["ms"] // 2)
     tracker.save_checkpoint(first.blocks_processed)
@@ -239,6 +253,7 @@ def run_l1(capture: pathlib.Path, report: dict) -> dict:
     with IQFile(capture, "int8", 1.0 / L1["scale"]) as f:
         f.read(done * L1["n"])
         second = tracker2.run(blocks(f, L1["n"]))
+    track_wall = time.perf_counter() - t_track
     out1, out2 = first.stacked(), second.stacked()
     dop = np.concatenate([np.asarray(out1.carrier_doppler),
                           np.asarray(out2.carrier_doppler)])
@@ -247,8 +262,14 @@ def run_l1(capture: pathlib.Path, report: dict) -> dict:
     dop_err = dop[-20:].mean(axis=0) - np.asarray(
         [d for _, d in sorted(zip(L1["prns"], L1["dops"]))]
     )
+    n_blocks = int(first.blocks_processed + second.blocks_processed)
     report["l1_track"] = {
-        "blocks": int(first.blocks_processed + second.blocks_processed),
+        "blocks": n_blocks,
+        # Realized streaming throughput (includes native IQ decode and
+        # per-chunk host->device transfer — the deployed-receiver path).
+        "track_wall_s": track_wall,
+        "blocks_per_s": n_blocks / track_wall,
+        "realtime_factor": n_blocks * 1e-3 / track_wall,
         "resume_at_block": int(done),
         "final_doppler_hz": [float(x) for x in dop[-20:].mean(axis=0)],
         "doppler_error_hz": [float(x) for x in dop_err],
@@ -296,7 +317,7 @@ def run_l5(capture: pathlib.Path, report: dict) -> dict:
         sys_q, L5["fs"], L5["n"], algorithm="pallas_bank",
         use_secondary=False, chans_per_step=2,
     )
-    st1, out1 = _track_chunked(
+    st1, out1, _ = _track_chunked(
         lambda st, a, b: track_bank(
             cfg_sync, jnp.asarray(sys_q.codes), st, a, b
         ),
@@ -330,13 +351,15 @@ def run_l5(capture: pathlib.Path, report: dict) -> dict:
     # atan2 loop + data-component nav-symbol demodulation.
     cfg_dual = dual_config(cfg_sync)
     rest = L5["ms"] - sync_blocks
-    st2, out2 = _track_chunked(
+    t_track = time.perf_counter()
+    st2, out2, steady_block_s = _track_chunked(
         lambda st, a, b: track_bank_dual(
             cfg_dual, jnp.asarray(sys_i.codes), jnp.asarray(sys_q.codes),
             st, a, b,
         ),
         st_dual, capture, L5["n"], rest, sync_blocks, scale,
     )
+    track_wall = time.perf_counter() - t_track
     dop = np.asarray(out2.pilot.carrier_doppler)
     planted = np.asarray([d for _, d in sorted(zip(L5["prns"], L5["dops"]))])
     dop_err = dop[-20:].mean(axis=0) - planted
@@ -351,6 +374,15 @@ def run_l5(capture: pathlib.Path, report: dict) -> dict:
         symbols[ch] = np.sign(dd).astype(int).tolist()
     report["l5_dual_track"] = {
         "blocks": int(rest),
+        "track_wall_s": track_wall,
+        "blocks_per_s": rest / track_wall,
+        "realtime_factor": rest * 1e-3 / track_wall,
+        # Steady-state per-block dispatch (median; first dispatch carries
+        # the jit compile) — the deployed streaming rate.
+        "steady_block_s": steady_block_s,
+        "steady_realtime_factor": (
+            1e-3 / steady_block_s if steady_block_s else None
+        ),
         "final_doppler_hz": [float(x) for x in dop[-20:].mean(axis=0)],
         "doppler_error_hz": [float(x) for x in dop_err],
         "final_cn0_dbhz": [

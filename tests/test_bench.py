@@ -107,6 +107,26 @@ class TestHarness:
         assert res["realtime_channels"] >= 0
         assert res["algorithm"] == "pallas_bank"
 
+    def test_dual_track_benchmark_smoke(self):
+        # Closed-loop L5 dual-component (data+pilot, 2K bank channels, NH
+        # wipe-off + atan2 pilot closure live in the timed path).
+        from gpuacceleratedtracking_tpu.bench import run_dual_track_benchmark
+
+        res = run_dual_track_benchmark(
+            {
+                "GNSS": "GPSL5",
+                "num_samples": 4096,
+                "num_channels": 2,
+                "algorithm": "xla_bank",
+                "processor": "CPU",
+                "blocks": 2,
+                "trials": 2,
+            }
+        )
+        assert res["Minimum"] >= 0
+        assert res["bank_channels"] == 4
+        assert res["realtime_channels"] >= 0
+
     def test_autotune_caches_best(self, tmp_path):
         cache = tmp_path / "autotune.json"
         best = autotune_tile_rows(

@@ -241,6 +241,55 @@ class TestClosedLoop:
             np.asarray(outs["pallas_bank"].carrier_doppler),
             rtol=1e-3, atol=1.0)
 
+    def test_track_bank_bf16z_tracking_grade_mode(self):
+        # TrackConfig(z_dtype="bf16") is the routed tracking-grade mode: with
+        # pallas_bank_auto it must select the composite kernel (the variant
+        # the on-chip win was measured on, data/benchmarks/comp_ab.json) and
+        # close the loop to the same trajectory as exact-f32 rows within
+        # tracking tolerance.
+        from gpuacceleratedtracking_tpu.ops.pallas_epl import (
+            bank_algorithm_for,
+        )
+
+        system = GPSL1()
+        N, num_ms, K = 8192, 20, 3
+        fs = N / 1e-3
+        assert bank_algorithm_for(
+            N, fs, system.code_length, system.code_frequency,
+            z_dtype=jnp.bfloat16,
+        ) == "pallas_bank_comp"
+        dops = np.array([-900.0, 100.0, 1500.0])
+        sigs = []
+        for prn, d in enumerate(dops):
+            scale = 1.0 + d / system.center_frequency
+            s, _ = gen_signal(system, prn, d, N * num_ms,
+                              duration=num_ms * 1e-3,
+                              code_frequency=system.code_frequency * scale)
+            sigs.append(s)
+        mixed = sum(sigs[1:], sigs[0])
+        sre, sim = soa(mixed)
+        sre, sim = sre.reshape(num_ms, N), sim.reshape(num_ms, N)
+        states = init_state(np.arange(K), carrier_doppler=dops)
+        outs = {}
+        for z in ["f32", "bf16"]:
+            config = TrackConfig.for_system(
+                system, fs, N, algorithm="pallas_bank_auto", z_dtype=z,
+                chans_per_step=1,
+            )
+            _, out = track_bank(config, jnp.asarray(system.codes), states,
+                                sre, sim)
+            outs[z] = out
+        scale = np.abs(np.asarray(outs["f32"].prompt_re)).max()
+        np.testing.assert_allclose(
+            np.asarray(outs["bf16"].prompt_re),
+            np.asarray(outs["f32"].prompt_re), atol=5e-3 * scale)
+        np.testing.assert_allclose(
+            np.asarray(outs["bf16"].carrier_doppler),
+            np.asarray(outs["f32"].carrier_doppler), rtol=1e-3, atol=1.0)
+        np.testing.assert_allclose(
+            np.asarray(outs["bf16"].code_phase),
+            np.asarray(outs["f32"].code_phase), rtol=1e-4, atol=5e-3)
+
     def test_track_bank_channels_independent(self):
         # Two channels, different PRNs/Dopplers, one shared front-end stream:
         # sum of two satellite signals; both channels must lock onto their own.
