@@ -4,6 +4,7 @@ from .timing import TrialStats, benchmark
 from .harness import (
     REALTIME_BOUND_S,
     add_metadata,
+    run_acquire_benchmark,
     run_dual_track_benchmark,
     run_kernel_benchmark,
     run_reduction_benchmark,
@@ -19,6 +20,7 @@ __all__ = [
     "benchmark",
     "REALTIME_BOUND_S",
     "add_metadata",
+    "run_acquire_benchmark",
     "run_dual_track_benchmark",
     "run_kernel_benchmark",
     "run_reduction_benchmark",

@@ -89,6 +89,7 @@ def run_kernel_benchmark(config: dict) -> dict:
         reps = int(min(128, max(8, (1 << 22) // num_samples)))
     reps = int(reps)
     trials = int(config.get("trials", 7))
+    reps_mode = config.get("reps_mode", "unroll")
 
     fs = num_samples / 1e-3
     shifts = tuple(
@@ -145,13 +146,30 @@ def run_kernel_benchmark(config: dict) -> dict:
                     system.code_frequency, off,
                 )
 
-        @jax.jit
-        def run(offs):
-            total = jnp.float32(0.0)
-            for i in range(r):
-                are, aim = call(offs[i])
-                total = total + are.sum() + aim.sum()
-            return total
+        if reps_mode == "scan":
+            # Scan-carried reps: constant compile cost at any depth — the
+            # noise-floor fix for µs-scale cells (per-trial noise = tunnel
+            # jitter / reps; the 128-unroll cap left IQR >= median at small
+            # N). lax.scan AROUND a pallas_call is fine on this toolchain
+            # (CLAUDE.md; the SIGABRT caveat is for scan wrappers of
+            # specific reduce shapes in `timing.benchmark_pipelined`).
+            @jax.jit
+            def run(offs):
+                def body(total, off):
+                    are, aim = call(off)
+                    return total + are.sum() + aim.sum(), None
+
+                return jax.lax.scan(
+                    body, jnp.float32(0.0), offs, unroll=4
+                )[0]
+        else:
+            @jax.jit
+            def run(offs):
+                total = jnp.float32(0.0)
+                for i in range(r):
+                    are, aim = call(offs[i])
+                    total = total + are.sum() + aim.sum()
+                return total
 
         offs = jax.device_put(
             jnp.linspace(0.0, 0.1, r).astype(jnp.float32), device
@@ -163,6 +181,7 @@ def run_kernel_benchmark(config: dict) -> dict:
     results = dict(config)
     results.update(stats.to_dict())
     results["reps_resolved"] = reps
+    results["reps_mode"] = reps_mode
     # Derived metrics use the MEDIAN: the differential minimum can clamp to
     # ~0 under tunnel noise (CLAUDE.md), which explodes the derived rates.
     floor = max(stats.median, 1e-9)
@@ -326,6 +345,63 @@ def run_dual_track_benchmark(config: dict) -> dict:
     results["samples_per_s"] = 2 * num_channels * num_samples / floor
     results["realtime_channels"] = num_channels * REALTIME_BOUND_S / floor
     return add_metadata(results, processor, algorithm)
+
+
+def run_acquire_benchmark(config: dict) -> dict:
+    """Benchmark PCPS acquisition: FFT circular correlation over a Doppler
+    grid, K PRNs searched at once, noncoherent round summation.
+
+    This subsystem runs on the HOST CPU path by design: the tunneled axon
+    TPU plugin has no FFT lowering (documented limitation, RESULTS.md), and
+    a deployed receiver acquires rarely but tracks continuously — the chip
+    belongs to the tracking loop. Role match: Acquisition.jl feeding
+    Tracking.jl in the reference ecosystem
+    (`/root/reference/src/benchmarks.jl:54`).
+
+    Keys: ``GNSS``, ``num_samples``, ``num_prns``, optional ``rounds``
+    (noncoherent), ``max_doppler``/``doppler_step``, ``trials``.
+    Reported unit: one full acquisition call (all PRNs x all bins x rounds).
+    """
+    import numpy as np
+
+    from ..acquire import acquire
+
+    system = get_system(config["GNSS"])
+    num_samples = int(config["num_samples"])
+    num_prns = int(config.get("num_prns", 8))
+    rounds = int(config.get("rounds", 1))
+    trials = int(config.get("trials", 7))
+    max_doppler = float(config.get("max_doppler", 5000.0))
+    fs = num_samples / 1e-3
+    t = num_samples / fs
+    doppler_step = float(config.get("doppler_step", 2.0 / (3.0 * t)))
+    num_bins = int(2 * max_doppler / doppler_step) + 1
+
+    device = _resolve_device("CPU")
+    signal, _ = gen_signal(
+        system, 0, 1200.0, num_samples * rounds, duration=rounds * 1e-3
+    )
+    sre, sim = soa(signal)
+    if rounds > 1:
+        sre = sre.reshape(rounds, num_samples)
+        sim = sim.reshape(rounds, num_samples)
+    sre = jax.device_put(sre, device)
+    sim = jax.device_put(sim, device)
+    prns = np.arange(num_prns) % system.codes.shape[1]
+
+    def run():
+        return acquire(
+            system, sre, sim, prns, fs, max_doppler=max_doppler,
+            doppler_step=doppler_step,
+        )
+
+    stats = benchmark(run, trials=trials)
+    results = dict(config)
+    results.update(stats.to_dict())
+    results["num_bins"] = num_bins
+    results["rounds"] = rounds
+    results["num_prns"] = num_prns
+    return add_metadata(results, "CPU", "pcps")
 
 
 def run_reduction_benchmark(config: dict) -> dict:

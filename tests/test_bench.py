@@ -127,6 +127,22 @@ class TestHarness:
         assert res["bank_channels"] == 4
         assert res["realtime_channels"] >= 0
 
+    def test_acquire_benchmark_smoke(self):
+        from gpuacceleratedtracking_tpu.bench import run_acquire_benchmark
+
+        res = run_acquire_benchmark(
+            {
+                "GNSS": "GPSL1",
+                "num_samples": 2048,
+                "num_prns": 2,
+                "rounds": 2,
+                "trials": 2,
+            }
+        )
+        assert res["Minimum"] >= 0
+        assert res["num_bins"] > 0
+        assert res["algorithm"] == "pcps"
+
     def test_autotune_caches_best(self, tmp_path):
         cache = tmp_path / "autotune.json"
         best = autotune_tile_rows(
