@@ -149,10 +149,19 @@ def plot_track_benchmark(df, out_path: str):
     fig, ax = plt.subplots(figsize=(7.5, 4.4))
     if "num_ants" not in df:
         df = df.assign(num_ants=1)
-    keys = ["algorithm", "num_samples", "num_ants", "num_correlators"]
-    for (algo, n, m, l), grp in df.groupby(keys):
+    if "GNSS" not in df:
+        df = df.assign(GNSS="GPSL1")
+    # Mixed-constellation rows (no num_channels axis) live in their own
+    # table (eval_summary); this figure plots K-sweeps only.
+    df = df[df.num_channels.notna()] if "num_channels" in df else df
+    keys = ["GNSS", "algorithm", "num_samples", "num_ants",
+            "num_correlators"]
+    for (gnss, algo, n, m, l), grp in df.groupby(keys):
         grp = grp.sort_values("num_channels")
         label = f"{algo} @ {n / 1e3:g} MHz"
+        if gnss != "GPSL1":
+            # Dual-component rows: K counts DUAL channels (2K-channel bank).
+            label = f"{gnss[3:]}-dual {label}"
         if (m, l) != (1, 3):
             label += f" M={m} L={l}"
         ax.loglog(

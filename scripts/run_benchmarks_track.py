@@ -67,10 +67,30 @@ dual_params = {
     "trials": 7,
 }
 
+# At 65.536 MHz the L5 chip rate drops to 0.156 chips/sample — inside the
+# per-row boundary kernel's envelope, so `pallas_bank_auto` routes the
+# flagship rows kernel instead of the transition kernel (~4x cheaper per
+# channel at 2x the sample rate). Wideband L5 front ends sample at >= 2x
+# the 10.23 MHz code rate anyway; this is the deployed configuration.
+dual_params_wide = {
+    "GNSS": "GPSL5",
+    "num_samples": 65536,
+    "num_channels": [16, 64, 128, 256],
+    "num_correlators": 3,
+    "algorithm": ["pallas_bank_auto"],
+    "processor": ["TPU"],
+    "blocks": 8,
+    "trials": 7,
+}
+
 if __name__ == "__main__":
     out = pathlib.Path(__file__).parent.parent / "data" / "benchmarks" / "track"
     run_sweep(params, run_track_benchmark, out, prefix="TrackBenchmark")
     run_sweep(m4_params, run_track_benchmark, out, prefix="TrackBenchmark")
     run_sweep(
         dual_params, run_dual_track_benchmark, out, prefix="DualTrackBenchmark"
+    )
+    run_sweep(
+        dual_params_wide, run_dual_track_benchmark, out,
+        prefix="DualTrackBenchmark",
     )

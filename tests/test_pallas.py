@@ -415,6 +415,20 @@ class TestBankRowsKernel:
         np.testing.assert_allclose(got[0], want[0], rtol=2e-3, atol=4.5)
         np.testing.assert_allclose(got[1], want[1], rtol=2e-3, atol=4.5)
 
+    def test_rows_matches_transition_gpsl5_wideband(self):
+        # 65.536 MHz puts GPS L5 (10.23 MHz code) at 0.156 chips/sample —
+        # inside the rows kernel's envelope, the deployed wideband-L5 config
+        # (DualTrackBenchmark num_samples=65536 cells). Parity vs the
+        # transition kernel: both share the exact floor/ceil chip arithmetic;
+        # with 10x L1's chip-boundary count the f32 FMA boundary-flip
+        # envelope scales accordingly (each flip is +/-2 on one sample;
+        # ~2e-4 of the matched prompt scale N).
+        case = self._random_case(GPSL5(), 65536, 3, seed=2)
+        got = self._run("pallas_bank_rows", **case)
+        want = self._run("pallas_bank", **case)
+        np.testing.assert_allclose(got[0], want[0], rtol=2e-3, atol=24.0)
+        np.testing.assert_allclose(got[1], want[1], rtol=2e-3, atol=24.0)
+
     def test_golden_prompt(self):
         system = GPSL1()
         N = 32768
