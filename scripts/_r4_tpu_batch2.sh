@@ -10,5 +10,6 @@ run() {
   echo "=== $name exit $? $(date +%T) ==="
 }
 run dual_wide  python scripts/run_benchmarks_track.py
+run mixed_wide python scripts/exp_mixed_l1l5.py
 run rerun_noisy python scripts/rerun_noisy_cells.py
 echo "=== BATCH2 DONE $(date +%T) ==="

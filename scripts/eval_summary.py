@@ -125,16 +125,19 @@ def mixed_track_table():
         return
     print("\n### Mixed L1+L5 closed loop on ONE chip "
           "(both banks every block; median±IQR ms/block)\n")
-    print("| L1 chans | L5 dual | total | ms/block | rt ratio "
+    print("| L1 chans | L5 dual | L5 fs MHz | total | ms/block | rt ratio "
           "| chips for real time |")
-    print("|---|---|---|---|---|---|")
-    for r in sorted(rows, key=lambda r: r["l1_channels"]):
+    print("|---|---|---|---|---|---|---|")
+    for r in sorted(rows, key=lambda r: (r["l1_channels"],
+                                         r.get("l5_num_samples", 0))):
         iqr = _iqr(r)
         ms = f"{r['Median']*1e3:.2f}"
         if iqr is not None:
             ms += f"±{iqr*1e3:.2f}"
         total = r["l1_channels"] + r["l5_dual_channels"]
-        print(f"| {r['l1_channels']} | {r['l5_dual_channels']} | {total} "
+        n5 = r.get("l5_num_samples", r["num_samples"])
+        print(f"| {r['l1_channels']} | {r['l5_dual_channels']} "
+              f"| {n5/1e3:.3f} | {total} "
               f"| {ms} | {r['realtime_ratio']:.2f} "
               f"| {r['chips_for_realtime']} |")
 

@@ -46,11 +46,15 @@ from gpuacceleratedtracking_tpu.tracking import (
 N = 32768
 BLOCKS = 8
 TRIALS = 7
-SCENARIOS = [(512, 32), (960, 64)]
+# (L1 channels, L5 dual channels, L5 samples per 1 ms block). n5=32768
+# (32.768 MHz) keeps L5 on the transition kernel; n5=65536 (65.536 MHz,
+# wideband front end, 0.156 chips/sample) routes the rows kernel for L5.
+SCENARIOS = [(512, 32, 32768), (960, 64, 32768), (960, 64, 65536)]
 
 
-def build(k1, k5):
+def build(k1, k5, n5):
     fs = N / 1e-3
+    fs5 = n5 / 1e-3
     l1 = GPSL1()
     l5i, l5q = GPSL5(), GPSL5(quadrature=True)
 
@@ -58,9 +62,9 @@ def build(k1, k5):
     cfg1 = TrackConfig.for_system(
         l1, fs, N, algorithm="pallas_bank_auto", **launch1
     )
-    launch5 = best_launch("pallas_bank_auto", 2 * k5, N, 1, 3, "GPSL5")
+    launch5 = best_launch("pallas_bank_auto", 2 * k5, n5, 1, 3, "GPSL5")
     cfg5 = dual_config(TrackConfig.for_system(
-        l5i, fs, N, algorithm="pallas_bank_auto", use_secondary=False,
+        l5i, fs5, n5, algorithm="pallas_bank_auto", use_secondary=False,
         **launch5,
     ))
 
@@ -79,11 +83,11 @@ def build(k1, k5):
     def make_fn(b):
         s1, _ = gen_signal(l1, 0, 1500.0, N * b, duration=b * 1e-3)
         s5, _ = gen_signal(
-            l5i, 0, 1500.0, N * b, duration=b * 1e-3,
+            l5i, 0, 1500.0, n5 * b, duration=b * 1e-3,
             secondary_code=l5i.secondary_code,
         )
         sre1, sim1 = (x.reshape(b, N) for x in soa(s1))
-        sre5, sim5 = (x.reshape(b, N) for x in soa(s5))
+        sre5, sim5 = (x.reshape(b, n5) for x in soa(s5))
 
         @jax.jit
         def fence(o1, o5):
@@ -106,14 +110,21 @@ def main():
         pathlib.Path(__file__).parent.parent / "data" / "benchmarks" / "track"
     )
     out_dir.mkdir(parents=True, exist_ok=True)
-    for k1, k5 in SCENARIOS:
-        make_fn, launch1, launch5 = build(k1, k5)
+    for k1, k5, n5 in SCENARIOS:
+        path = (out_dir
+                / f"MixedTrack_L1={k1}_L5dual={k5}_num_samples={N}"
+                  f"_l5_num_samples={n5}.json")
+        if path.exists():
+            print(f"skip (exists): {path.name}")
+            continue
+        make_fn, launch1, launch5 = build(k1, k5, n5)
         stats = benchmark_differential(make_fn, BLOCKS, trials=TRIALS)
         floor = max(stats.median, 1e-9)
         total = k1 + k5
         res = {
             "GNSS": "GPSL1+GPSL5",
             "num_samples": N,
+            "l5_num_samples": n5,
             "l1_channels": k1,
             "l5_dual_channels": k5,
             "bank_channels": k1 + 2 * k5,
@@ -130,7 +141,6 @@ def main():
         # the measured basis for the v5e-8 north-star claim.
         res["chips_for_realtime"] = int(np.ceil(floor / REALTIME_BOUND_S))
         add_metadata(res, "TPU", "pallas_bank_auto")
-        path = out_dir / f"MixedTrack_L1={k1}_L5dual={k5}_num_samples={N}.json"
         path.write_text(json.dumps(res, indent=1))
         print(json.dumps({k: res[k] for k in (
             "l1_channels", "l5_dual_channels", "Median", "realtime_ratio",
