@@ -11,6 +11,7 @@ host work per chunk is one async dispatch plus the (tiny) output readback.
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Iterator, Optional
 
 import numpy as np
@@ -29,12 +30,21 @@ class StreamResult:
     outputs: list          # list of TrackOutput (stacked [B, K] per chunk)
     final_state: TrackState
     blocks_processed: int
+    # Per-block wall time of each dispatch chunk (decode + transfer +
+    # scan + output readback). The first entry carries the jit compile;
+    # `steady_block_s` (the median) is the deployed streaming rate.
+    dispatch_block_s: list = dataclasses.field(default_factory=list)
 
     def stacked(self) -> TrackOutput:
         return TrackOutput(*(
             np.concatenate([np.asarray(getattr(o, f)) for o in self.outputs])
             for f in TrackOutput._fields
         ))
+
+    @property
+    def steady_block_s(self) -> Optional[float]:
+        ts = sorted(self.dispatch_block_s)
+        return ts[len(ts) // 2] if ts else None
 
 
 class StreamTracker:
@@ -97,14 +107,27 @@ class StreamTracker:
         """Drain an iterator of ``(re, im)`` block pairs (e.g. `blocks()`)."""
         n = self.config.num_samples
         chunk_re, chunk_im, outputs, processed = [], [], [], 0
+        dispatch_block_s = []
+
+        def dispatch():
+            nonlocal processed
+            b = len(chunk_re)
+            t0 = time.perf_counter()
+            out = self.process(np.stack(chunk_re), np.stack(chunk_im))
+            # True fence: materialize one output leaf (block_until_ready is
+            # lazy on tunneled backends — CLAUDE.md).
+            np.asarray(out.prompt_re)
+            dispatch_block_s.append((time.perf_counter() - t0) / b)
+            outputs.append(out)
+            processed += b
+
         for re, im in source:
             if re.shape[-1] != n:
                 break  # short tail block at EOF
             chunk_re.append(re)
             chunk_im.append(im)
             if len(chunk_re) == self.blocks_per_dispatch:
-                outputs.append(self.process(np.stack(chunk_re), np.stack(chunk_im)))
-                processed += len(chunk_re)
+                dispatch()
                 self._since_checkpoint += len(chunk_re)
                 chunk_re, chunk_im = [], []
                 if self._since_checkpoint >= self.checkpoint_every:
@@ -113,9 +136,8 @@ class StreamTracker:
             if max_blocks is not None and processed >= max_blocks:
                 break
         if chunk_re:
-            outputs.append(self.process(np.stack(chunk_re), np.stack(chunk_im)))
-            processed += len(chunk_re)
-        return StreamResult(outputs, self.states, processed)
+            dispatch()
+        return StreamResult(outputs, self.states, processed, dispatch_block_s)
 
 
 def blocks(source: "iq_mod.IQFile", num_samples: int):

@@ -11,5 +11,7 @@ run() {
 }
 run dual_wide  python scripts/run_benchmarks_track.py
 run mixed_wide python scripts/exp_mixed_l1l5.py
+run accuracy2 python scripts/benchmark_accuracy.py
 run rerun_noisy python scripts/rerun_noisy_cells.py
+run coldstart2 python scripts/run_coldstart.py --capture-dir /tmp/cs_tpu
 echo "=== BATCH2 DONE $(date +%T) ==="

@@ -82,16 +82,21 @@ def cell(system, gnss, num_samples):
     fcode = system.code_frequency * (1.0 + dops / system.center_frequency)
 
     # Front end: all K satellites superposed + AWGN, host f64 for the oracle.
+    # Synthesis runs PINNED to the host CPU device: the axon TPU plugin
+    # cannot host-transfer complex64 arrays (UNIMPLEMENTED), and the oracle
+    # needs host data anyway — only the f32 planes go to the chip.
+    cpu = jax.local_devices(backend="cpu")[0]
     mixed = None
-    for i in range(K):
-        s, _ = gen_signal(
-            system, int(prns[i]), float(dops[i]), num_samples,
-            start_carrier_phase=float(phis_car[i]),
-            start_code_phase=float(phis_code[i]),
-            code_frequency=float(fcode[i]),
-        )
-        s = np.asarray(s)
-        mixed = s if mixed is None else mixed + s
+    with jax.default_device(cpu):
+        for i in range(K):
+            s, _ = gen_signal(
+                system, int(prns[i]), float(dops[i]), num_samples,
+                start_carrier_phase=float(phis_car[i]),
+                start_code_phase=float(phis_code[i]),
+                code_frequency=float(fcode[i]),
+            )
+            s = np.asarray(s)
+            mixed = s if mixed is None else mixed + s
     mixed = mixed.astype(np.complex128) + SIGMA * (
         rng.standard_normal(num_samples)
         + 1j * rng.standard_normal(num_samples)
