@@ -2,7 +2,7 @@
 
 from .mesh import ANT_AXIS, CHAN_AXIS, TIME_AXIS, channel_time_mesh, make_mesh
 from .correlate import advance_phases, correlate_sharded, nominal_advance_tables
-from .bank import track_bank_sharded
+from .bank import track_bank_dual_sharded, track_bank_sharded
 
 __all__ = [
     "ANT_AXIS",
@@ -13,5 +13,6 @@ __all__ = [
     "advance_phases",
     "correlate_sharded",
     "nominal_advance_tables",
+    "track_bank_dual_sharded",
     "track_bank_sharded",
 ]

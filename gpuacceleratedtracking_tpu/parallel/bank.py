@@ -164,3 +164,64 @@ def track_bank_sharded(
         check_vma=False,
     )
     return sharded(states, signal_re, signal_im)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "mesh", "chan_axis")
+)
+def track_bank_dual_sharded(
+    config: TrackConfig,
+    codes_data: jax.Array,
+    codes_pilot: jax.Array,
+    states: TrackState,
+    signal_re: jax.Array,
+    signal_im: jax.Array,
+    *,
+    mesh: Mesh,
+    chan_axis: str = CHAN_AXIS,
+):
+    """Mesh-sharded GPS L5 dual-component bank: channel data parallelism.
+
+    The multi-chip leg of the mixed L1+L5 claim (RESULTS.md "north-star
+    sentence"): K dual channels (each a data+pilot pair -> 2K bank channels
+    per shard-local launch) shard over ``chan_axis`` with ZERO hot-path
+    communication — dual channels are independent given the shared front
+    end, which is replicated (`tracking.dual.track_bank_dual` runs whole
+    inside each shard: one bank kernel launch + NH wipe-off + pilot atan2
+    closure per block). Time-axis sharding is not plumbed here: overlay
+    wipe-off is per-block logic, and channel sharding alone is the
+    deployment geometry the measured chips-for-real-time numbers compose
+    under.
+    """
+    from ..tracking.dual import DualTrackOutput, track_bank_dual
+
+    num_chan = mesh.shape[chan_axis]
+    num_k = states.prn.shape[0]
+    if num_k % num_chan:
+        raise ValueError(f"K={num_k} not divisible by {num_chan} chan shards")
+
+    def body(local_states, sre, sim):
+        return track_bank_dual(
+            config, codes_data, codes_pilot, local_states, sre, sim
+        )
+
+    state_specs = jax.tree.map(lambda _: P(chan_axis), states)
+    sig_spec = P(*((None,) * signal_re.ndim))
+    out_specs = (
+        jax.tree.map(lambda _: P(chan_axis), states),
+        DualTrackOutput(
+            pilot=TrackOutput(
+                *(P(None, chan_axis) for _ in TrackOutput._fields)
+            ),
+            data_prompt_re=P(None, chan_axis),
+            data_prompt_im=P(None, chan_axis),
+        ),
+    )
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(state_specs, sig_spec, sig_spec),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return sharded(states, signal_re, signal_im)

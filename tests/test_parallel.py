@@ -263,6 +263,54 @@ class TestTrackBankSharded:
             rtol=0, atol=1e-4,
         )
 
+    def test_dual_bank_sharded_matches_unsharded(self):
+        # Multi-chip leg of the mixed L1+L5 claim: GPS L5 dual-component
+        # banks shard over channels with zero hot-path communication; the
+        # sharded run must reproduce the unsharded dual bank (pilot loop,
+        # NH wipe-off, and nav-symbol data prompts).
+        from gpuacceleratedtracking_tpu.models import GPSL5
+        from gpuacceleratedtracking_tpu.parallel import track_bank_dual_sharded
+        from gpuacceleratedtracking_tpu.tracking import (
+            dual_config,
+            track_bank_dual,
+        )
+
+        sys_i, sys_q = GPSL5(), GPSL5(quadrature=True)
+        N, num_ms, K = 16384, 6, 4
+        fs = N / 1e-3
+        sig, _ = gen_signal(
+            sys_i, 0, 700.0, N * num_ms, duration=num_ms * 1e-3,
+            secondary_code=sys_i.secondary_code,
+        )
+        sre, sim = (x.reshape(num_ms, N) for x in soa(sig))
+        cfg = dual_config(TrackConfig.for_system(
+            sys_i, fs, N, algorithm="xla_bank", use_secondary=False,
+        ))
+        states = init_state(
+            np.arange(K), carrier_doppler=np.linspace(-900.0, 900.0, K)
+        )
+        mesh = channel_time_mesh(num_chan_shards=4, num_time_shards=1)
+        final_s, out_s = track_bank_dual_sharded(
+            cfg, jnp.asarray(sys_i.codes), jnp.asarray(sys_q.codes),
+            states, sre, sim, mesh=mesh,
+        )
+        final_u, out_u = track_bank_dual(
+            cfg, jnp.asarray(sys_i.codes), jnp.asarray(sys_q.codes),
+            states, sre, sim,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_s.pilot.prompt_re),
+            np.asarray(out_u.pilot.prompt_re), rtol=1e-5, atol=1e-2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_s.data_prompt_re),
+            np.asarray(out_u.data_prompt_re), rtol=1e-5, atol=1e-2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(final_s.code_phase), np.asarray(final_u.code_phase),
+            rtol=0, atol=1e-4,
+        )
+
     def test_output_sharding_layout(self):
         system, config, states, sre, sim = self._scenario(num_k=8, num_ms=4)
         mesh = channel_time_mesh(num_chan_shards=4, num_time_shards=2)
