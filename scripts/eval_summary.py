@@ -79,7 +79,9 @@ def kernel_table(gnss, processor, num_ants, num_correlators):
 
 
 def track_table():
-    rows = _load("track")
+    # K-sweep rows only (mixed-constellation rows have no num_channels
+    # axis and print in their own table below).
+    rows = [r for r in _load("track") if "num_channels" in r]
     if not rows:
         return
     print("\n### Closed-loop track sweep (median ms/block; rt chans)\n")

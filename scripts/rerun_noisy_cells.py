@@ -37,10 +37,12 @@ def noisy(d):
 
 def main():
     only = sys.argv[1] if len(sys.argv) > 1 else ""
+    processor = "CPU" if "--cpu" in sys.argv else "TPU"
+    only = "" if only.startswith("--") else only
     todo = []
     for p in sorted(KDIR.glob("*.json")):
         d = json.loads(p.read_text())
-        if d.get("processor") != "TPU" or "error" in d:
+        if d.get("processor") != processor or "error" in d:
             continue
         if only and only not in p.name:
             continue
@@ -55,7 +57,7 @@ def main():
             "num_ants": d["num_ants"],
             "num_correlators": d["num_correlators"],
             "algorithm": d["algorithm"],
-            "processor": "TPU",
+            "processor": processor,
             "reps": int(min(4096, max(256, (1 << 24) // n))),
             "reps_mode": "scan",
             "trials": 9,

@@ -147,7 +147,7 @@ def _write_int8(path, signal, sigma, scale, seed):
 
 
 def _track_chunked(step_fn, states, path, n, count, start_block, scale,
-                   chunk=20):
+                   chunk=40):
     """Run a scan-style tracker over file blocks in bounded dispatches.
 
     The tunnel rejects large one-shot host->device transfers, and a deployed
@@ -235,7 +235,7 @@ def run_l1(capture: pathlib.Path, report: dict) -> dict:
     )
     ckpt = OUT_DATA / "l1_checkpoint.npz"
     tracker = StreamTracker(
-        config, system.codes, states, blocks_per_dispatch=20,
+        config, system.codes, states, blocks_per_dispatch=60,
         checkpoint_path=ckpt, checkpoint_every=100,
     )
     # First leg: track half the capture, checkpointing along the way ...
@@ -247,7 +247,7 @@ def run_l1(capture: pathlib.Path, report: dict) -> dict:
     # checkpoint file and continues where the first process stopped.
     tracker2 = StreamTracker(
         config, system.codes, init_state(np.asarray(states.prn)),
-        blocks_per_dispatch=20, checkpoint_path=ckpt,
+        blocks_per_dispatch=60, checkpoint_path=ckpt,
     )
     done = tracker2.load_checkpoint()
     with IQFile(capture, "int8", 1.0 / L1["scale"]) as f:
