@@ -79,9 +79,10 @@ def kernel_table(gnss, processor, num_ants, num_correlators):
 
 
 def track_table():
-    # K-sweep rows only (mixed-constellation rows have no num_channels
-    # axis and print in their own table below).
-    rows = [r for r in _load("track") if "num_channels" in r]
+    # K-sweep rows only; mixed-constellation rows (no num_channels axis)
+    # and dual-component rows (bank_channels) print in their own tables.
+    rows = [r for r in _load("track")
+            if "num_channels" in r and "bank_channels" not in r]
     if not rows:
         return
     print("\n### Closed-loop track sweep (median ms/block; rt chans)\n")
@@ -95,6 +96,8 @@ def track_table():
         ms = f"{r['Median']*1e3:.2f}"
         if iqr is not None:
             ms += f"±{iqr*1e3:.2f}"
+            if r['Median'] > 0 and iqr >= r['Median']:
+                ms += "\\*"
         print(f"| `{r['algorithm']}` | {r['num_samples']/1e3:.3f} "
               f"| {r['num_channels']} | {r.get('num_ants', 1)} "
               f"| {r.get('num_correlators', 3)} | {ms} "
@@ -116,6 +119,8 @@ def dual_track_table():
         ms = f"{r['Median']*1e3:.2f}"
         if iqr is not None:
             ms += f"±{iqr*1e3:.2f}"
+            if r['Median'] > 0 and iqr >= r['Median']:
+                ms += "\\*"
         print(f"| {r['num_samples']/1e3:.3f} | {r['num_channels']} "
               f"| {r['bank_channels']} | {ms} "
               f"| {min(r['realtime_channels'], r['num_channels']*1000):.0f} |")
@@ -136,6 +141,8 @@ def mixed_track_table():
         ms = f"{r['Median']*1e3:.2f}"
         if iqr is not None:
             ms += f"±{iqr*1e3:.2f}"
+            if r['Median'] > 0 and iqr >= r['Median']:
+                ms += "\\*"
         total = r["l1_channels"] + r["l5_dual_channels"]
         n5 = r.get("l5_num_samples", r["num_samples"])
         print(f"| {r['l1_channels']} | {r['l5_dual_channels']} "
@@ -185,18 +192,22 @@ def acquire_table():
     if not rows:
         return
     print("\n### PCPS acquisition (host CPU path — the tunneled TPU backend "
-          "has no FFT lowering; median±IQR ms per noncoherent round)\n")
-    print("| GNSS | N | K PRNs | Doppler bins | ms/round | ms/PRN·round |")
-    print("|---|---|---|---|---|---|")
+          "has no FFT lowering; median±IQR ms per full acquisition call)\n")
+    print("| GNSS | N | K PRNs | rounds | Doppler bins | ms/call "
+          "| ms/PRN·round |")
+    print("|---|---|---|---|---|---|---|")
     for r in sorted(rows, key=lambda r: (r["GNSS"], r["num_samples"],
-                                         r["num_prns"])):
+                                         r["num_prns"], r["rounds"])):
         iqr = _iqr(r)
         ms = f"{r['Median']*1e3:.2f}"
         if iqr is not None:
             ms += f"±{iqr*1e3:.2f}"
+            if r['Median'] > 0 and iqr >= r['Median']:
+                ms += "\\*"
+        per = r["Median"] * 1e3 / (r["num_prns"] * r["rounds"])
         print(f"| {r['GNSS']} | {r['num_samples']} | {r['num_prns']} "
-              f"| {r['num_bins']} | {ms} "
-              f"| {r['Median']*1e3/r['num_prns']:.3f} |")
+              f"| {r['rounds']} | {r['num_bins']} | {ms} "
+              f"| {per:.3f} |")
 
 
 def micro_tables():
