@@ -26,12 +26,28 @@ SHAPES = [
     (32, 32768),
     (128, 32768),
     (512, 32768),
+    (64, 32768),     # mixed-run small L5 bank (K5=32 dual)
+    (256, 32768),    # K=128-dual cell
     (128, 65536),
     (512, 65536),
 ]
 
 if __name__ == "__main__":
+    import json
+
+    from gpuacceleratedtracking_tpu.bench.autotune import (
+        _CACHE_PATH,
+        _cache_key,
+    )
+
+    cache = (
+        json.loads(_CACHE_PATH.read_text()) if _CACHE_PATH.exists() else {}
+    )
     for k, n in SHAPES:
+        key = _cache_key("pallas_bank_auto", k, n, 1, 3, "GPSL5")
+        if key in cache:
+            print(f"K={k} N={n}: cached {best_launch('pallas_bank_auto', k, n, 1, 3, 'GPSL5')} (skip)")
+            continue
         old = best_launch("pallas_bank_auto", k, n, 1, 3, "GPSL5")
         autotune_tile_rows(
             "pallas_bank_auto", num_channels=k, num_samples=n, gnss="GPSL5",
