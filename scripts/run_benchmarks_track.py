@@ -52,6 +52,21 @@ m4_params = {
     "trials": 7,
 }
 
+# GLONASS L1OF closed loop (third constellation family, beyond the
+# reference's GPS-only GNSSDICT): the 511-chip m-sequence code through the
+# same bank kernels; FDMA channel offsets ride the per-channel carrier
+# frequency natively.
+glonass_params = {
+    "GNSS": "GLONASSL1",
+    "num_samples": 32768,
+    "num_channels": [64, 256],
+    "num_correlators": 3,
+    "algorithm": ["pallas_bank_auto"],
+    "processor": ["TPU"],
+    "blocks": 8,
+    "trials": 7,
+}
+
 # GPS L5 dual-component closed loop (the north-star L5 leg): K dual
 # channels = 2K-channel bank per launch, NH10/NH20 wipe-off + pilot atan2
 # closure in the timed path. The reference's L5 never closes a loop on GPU
@@ -87,6 +102,7 @@ if __name__ == "__main__":
     out = pathlib.Path(__file__).parent.parent / "data" / "benchmarks" / "track"
     run_sweep(params, run_track_benchmark, out, prefix="TrackBenchmark")
     run_sweep(m4_params, run_track_benchmark, out, prefix="TrackBenchmark")
+    run_sweep(glonass_params, run_track_benchmark, out, prefix="TrackBenchmark")
     run_sweep(
         dual_params, run_dual_track_benchmark, out, prefix="DualTrackBenchmark"
     )
