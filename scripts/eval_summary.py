@@ -86,9 +86,10 @@ def track_table():
     if not rows:
         return
     print("\n### Closed-loop track sweep (median ms/block; rt chans)\n")
-    print("| algorithm | fs MHz | K | M | L | ms/block | rt chans |")
-    print("|---|---|---|---|---|---|---|")
-    for r in sorted(rows, key=lambda r: (r["algorithm"], -r["num_samples"],
+    print("| GNSS | algorithm | fs MHz | K | M | L | ms/block | rt chans |")
+    print("|---|---|---|---|---|---|---|---|")
+    for r in sorted(rows, key=lambda r: (r.get("GNSS", ""), r["algorithm"],
+                                         -r["num_samples"],
                                          r.get("num_ants", 1),
                                          r.get("num_correlators", 3),
                                          -r["num_channels"])):
@@ -98,7 +99,8 @@ def track_table():
             ms += f"±{iqr*1e3:.2f}"
             if r['Median'] > 0 and iqr >= r['Median']:
                 ms += "\\*"
-        print(f"| `{r['algorithm']}` | {r['num_samples']/1e3:.3f} "
+        print(f"| {r.get('GNSS', '—')} | `{r['algorithm']}` "
+              f"| {r['num_samples']/1e3:.3f} "
               f"| {r['num_channels']} | {r.get('num_ants', 1)} "
               f"| {r.get('num_correlators', 3)} | {ms} "
               f"| {min(r['realtime_channels'], r['num_channels']*1000):.0f} |")
