@@ -154,14 +154,19 @@ def plot_track_benchmark(df, out_path: str):
     # Mixed-constellation rows (no num_channels axis) live in their own
     # table (eval_summary); this figure plots K-sweeps only.
     df = df[df.num_channels.notna()] if "num_channels" in df else df
+    if "bank_channels" not in df:
+        df = df.assign(bank_channels=float("nan"))
     keys = ["GNSS", "algorithm", "num_samples", "num_ants",
             "num_correlators"]
     for (gnss, algo, n, m, l), grp in df.groupby(keys):
         grp = grp.sort_values("num_channels")
         label = f"{algo} @ {n / 1e3:g} MHz"
-        if gnss != "GPSL1":
+        is_dual = grp.bank_channels.notna().any()
+        if is_dual:
             # Dual-component rows: K counts DUAL channels (2K-channel bank).
             label = f"{gnss[3:]}-dual {label}"
+        elif gnss != "GPSL1":
+            label = f"{gnss} {label}"
         if (m, l) != (1, 3):
             label += f" M={m} L={l}"
         ax.loglog(
