@@ -58,7 +58,11 @@ def main():
             "num_correlators": d["num_correlators"],
             "algorithm": d["algorithm"],
             "processor": processor,
-            "reps": int(min(4096, max(256, (1 << 24) // n))),
+            # Local-CPU noise is µs-scale scheduling jitter, not the ~ms
+            # tunnel RTT — light unrolls suffice there; go deep on TPU.
+            "reps": (int(min(4096, max(256, (1 << 24) // n)))
+                     if processor == "TPU"
+                     else int(min(256, max(16, (1 << 21) // n)))),
             "reps_mode": "scan",
             "trials": 9,
         }
