@@ -16,6 +16,14 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
+if "--cpu" in sys.argv:
+    # Force the CPU platform BEFORE jax initializes: otherwise signal
+    # generation runs on the default (tunneled TPU) backend and a tunnel
+    # stall wedges a pure-CPU measurement.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 from gpuacceleratedtracking_tpu.bench import run_kernel_benchmark
 
 KDIR = pathlib.Path(__file__).parent.parent / "data" / "benchmarks" / "kernel"
