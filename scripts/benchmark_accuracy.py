@@ -40,7 +40,6 @@ from gpuacceleratedtracking_tpu.models import (
     EPLCorrelator,
     correlator_sample_shifts,
     gen_signal,
-    soa,
 )
 from gpuacceleratedtracking_tpu.ops import pallas_epl, registry
 
