@@ -76,10 +76,13 @@ def bench_bank(n=32768, num_k=64, num_ants=4, num_taps=7):
         system, EPLCorrelator(num_taps), fs))
     prns = jnp.arange(num_k, dtype=jnp.int32) % codes.shape[1]
     dops = jnp.linspace(-4000.0, 4000.0, num_k).astype(jnp.float32)
+    from gpuacceleratedtracking_tpu.bench.autotune import best_launch
+
+    launch = best_launch("pallas_bank", num_k, n, num_ants, num_taps, "GPSL5")
     corr = functools.partial(
         registry.get("pallas_bank"), sample_shifts=shifts,
         code_length=system.code_length, sampling_frequency=fs,
-        nominal_code_frequency=system.code_frequency)
+        nominal_code_frequency=system.code_frequency, **launch)
 
     def make(r):
         @jax.jit
@@ -100,7 +103,7 @@ def bench_bank(n=32768, num_k=64, num_ants=4, num_taps=7):
     RESULTS.append({"algorithm": "pallas_bank", "num_samples": n,
                     "num_ants": num_ants, "num_taps": num_taps,
                     "num_channels": num_k, "median_s": med, "min_s": best,
-                    "realtime_channels": rt_ch})
+                    "realtime_channels": rt_ch, **launch})
     print(f"pallas_bank   N={n} M={num_ants} L={num_taps} K={num_k}: "
           f"med {med*1e3:7.3f} ms/block -> {rt_ch:6.1f} real-time channels")
 
