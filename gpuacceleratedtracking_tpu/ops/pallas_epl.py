@@ -205,29 +205,46 @@ def correlate_pallas_taps(
 
 
 def _flat_shift(arr: jax.Array, delta: int) -> jax.Array:
-    """View ``arr [R+1, 128]`` as flat samples and shift left by ``delta`` < 128:
-    ``out[r, l] = flat[r*128 + l + delta]`` for the first R rows (last row is
-    halo). Implemented with lane/sublane rolls + a lane-position select."""
+    """View ``arr [R+H, 128]`` as flat samples and shift left by ``delta`` =
+    ``q*128 + r``: ``out[i, l] = flat[i*128 + l + delta]``, valid for the
+    first ``R+H-q-1`` rows (``R+H-q`` when ``r == 0``; trailing rows are halo
+    garbage). ``q`` static sublane rolls + one lane roll + a lane-position
+    select — all STATIC shifts (dynamic `pltpu.roll` hangs Mosaic on this
+    toolchain), covering any tap span given enough halo rows (the wide-span
+    regime: GPS L1 at fs >= 131 MHz where one EPL chip spans >= 128 samples,
+    the reference mega-kernel's N=2^17/2^18 envelope cells,
+    `/root/reference/scripts/run_benchmarks_gpsl1.jl:8`)."""
     if delta == 0:
         return arr
-    # pltpu.roll takes non-negative shifts (out[i] = in[(i - shift) % n]);
-    # a left-roll by delta is a right-roll by n - delta.
-    rolled = pltpu.roll(arr, LANES - delta, axis=1)          # [r, (l+delta) % 128]
-    next_row = pltpu.roll(rolled, arr.shape[0] - 1, axis=0)  # [r+1, (l+delta) % 128]
+    q, r = divmod(int(delta), LANES)
+    if q:
+        # Shift rows up by q: out[i] = in[i + q] (pltpu.roll is a right-roll).
+        arr = pltpu.roll(arr, arr.shape[0] - q, axis=0)
+    if r == 0:
+        return arr
+    rolled = pltpu.roll(arr, LANES - r, axis=1)              # [i, (l+r) % 128]
+    next_row = pltpu.roll(rolled, arr.shape[0] - 1, axis=0)  # [i+1, (l+r) % 128]
     lane = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 1)
-    return jnp.where(lane < LANES - delta, rolled, next_row)
+    return jnp.where(lane < LANES - r, rolled, next_row)
+
+
+def _halo_rows_for_span(span: int) -> int:
+    """Halo rows a kernel's replica must carry so `_flat_shift` by any tap
+    delta <= ``span`` only reads valid rows: ``q_max`` extra full rows plus
+    one for the lane shift."""
+    return int(span) // LANES + 1
 
 
 def _fused_kernel(
     params_ref, sre_ref, sim_ref, code2d_ref, outre_ref, outim_ref,
-    *, deltas: tuple, code_length: int, num_hi: int,
+    *, deltas: tuple, code_length: int, num_hi: int, halo_rows: int = 1,
 ):
     i = pl.program_id(0)
     f_cyc = params_ref[0, 0]
     phi_cyc = params_ref[0, 1]
     rho = params_ref[0, 2]          # chips per sample
     phi_code = params_ref[0, 3]     # chips (already offset by d_min)
-    ext_rows = TILE_ROWS + 1        # one halo row covers max tap span < 128
+    ext_rows = TILE_ROWS + halo_rows    # halo covers the max tap span
 
     # --- code replica for the extended tile (one-hot MXU gather) ---
     row = jax.lax.broadcasted_iota(jnp.int32, (ext_rows, LANES), 0).astype(jnp.float32)
@@ -300,18 +317,16 @@ def correlate_pallas_fused(
 ) -> tuple[jax.Array, jax.Array]:
     """Fully fused EPL correlation: replica generation inside the kernel.
 
-    The one kernel = the reference's 5431 mega-kernel. The code table column for
+    The one kernel = the reference's 5431 mega-kernel, and like it valid at
+    any N of the reference envelope (`/root/reference/src/algorithms.jl:720-825`
+    works at any grid size): the replica halo carries ``span // 128 + 1``
+    extra rows, so wide tap spans (GPS L1 at fs >= 131 MHz) stay on the fused
+    path instead of degrading to `pallas_taps`. The code table column for
     ``prn`` rides in VMEM as ``[ceil(Lc/128), 128]``; chip lookup is a one-hot
-    lane matmul (exact in f32). Tap span must stay below 128 samples (one halo
-    row); wider spans fall back to `correlate_pallas_taps`.
+    lane matmul (exact in f32).
     """
     span = int(max(sample_shifts)) - int(min(sample_shifts))
-    if span >= LANES:
-        return correlate_pallas_taps(
-            signal_re, signal_im, codes, prn, carrier_frequency,
-            sampling_frequency, carrier_phase, code_frequency, code_phase,
-            sample_shifts, code_length,
-        )
+    halo_rows = _halo_rows_for_span(span)
     squeeze = signal_re.ndim == 1
     if squeeze:
         signal_re, signal_im = signal_re[None], signal_im[None]
@@ -371,7 +386,7 @@ def correlate_pallas_fused(
     )
     kernel = functools.partial(
         _fused_kernel, deltas=deltas, code_length=int(code_length),
-        num_hi=int(num_hi),
+        num_hi=int(num_hi), halo_rows=halo_rows,
     )
     acc_re, acc_im = pl.pallas_call(
         kernel,
@@ -392,6 +407,7 @@ def correlate_pallas_fused(
 def _bank_kernel(
     params_ref, sre_ref, sim_ref, code2d_ref, outre_ref, outim_ref,
     *, deltas: tuple, code_length: int, num_hi: int, tile_rows: int,
+    halo_rows: int = 1,
 ):
     """One (channel, tile) grid step of the fused bank correlator.
 
@@ -410,7 +426,7 @@ def _bank_kernel(
     phi_cyc = params_ref[k, 1]
     rho = params_ref[k, 2]
     phi_code = params_ref[k, 3]
-    ext_rows = tile_rows + 1
+    ext_rows = tile_rows + halo_rows
 
     row = jax.lax.broadcasted_iota(jnp.int32, (ext_rows, LANES), 0).astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (ext_rows, LANES), 1).astype(jnp.float32)
@@ -495,16 +511,13 @@ def correlate_pallas_bank_onehot(
     ``prn / carrier_frequency / carrier_phase / code_frequency / code_phase``
     are ``[K]`` arrays (one satellite channel each); ``signal_*`` is ``[N]`` or
     ``[A, N]`` shared by all channels. Returns ``[K, A, L]`` (or ``[K, L]``)
-    accumulators. Requires tap span < 128 samples. ``tile_rows`` sets the
-    time-tile (``tile_rows * 128`` samples per grid step) — large tiles
-    amortize per-step fixed cost, the dominant term for the bank's
+    accumulators. Any tap span (the replica halo scales with it). ``tile_rows``
+    sets the time-tile (``tile_rows * 128`` samples per grid step) — large
+    tiles amortize per-step fixed cost, the dominant term for the bank's
     K×tiles-step sequential grid.
     """
     span = int(max(sample_shifts)) - int(min(sample_shifts))
-    if span >= LANES:
-        raise ValueError(
-            f"tap span {span} >= {LANES}; use the XLA bank path for wide spans"
-        )
+    halo_rows = _halo_rows_for_span(span)
     squeeze = signal_re.ndim == 1
     if squeeze:
         signal_re, signal_im = signal_re[None], signal_im[None]
@@ -565,6 +578,7 @@ def correlate_pallas_bank_onehot(
     kernel = functools.partial(
         _bank_kernel, deltas=deltas, code_length=int(code_length),
         num_hi=int(num_hi), tile_rows=int(tile_rows),
+        halo_rows=halo_rows,
     )
     acc_re, acc_im = pl.pallas_call(
         kernel,
@@ -1205,6 +1219,7 @@ def _rows_geometry(
     code_length: int,
     nominal_code_frequency: float | None,
     max_chips_per_sample: float | None,
+    halo_rows: int = 1,
 ) -> tuple[int, int, int]:
     """Static geometry of the per-row bank kernel: ``(tile_rows, num_j, crt)``.
 
@@ -1212,6 +1227,8 @@ def _rows_geometry(
     ``crt`` = rows of the tiled per-channel code table, provisioned so every
     flat read ``code[c + j]`` for any in-tile chip ``c`` stays in valid rows
     (the last table row is `_flat_shift` halo garbage and is never selected).
+    ``halo_rows`` = replica lookahead rows past the tile (``span // 128 + 1``
+    for the scenario's tap span — wide spans at L1 fs >= 131 MHz need > 1).
     """
     tile_rows = min(tile_rows, pl.cdiv(num_samples, LANES))
     tile_rows = max(8, tile_rows // 8 * 8)
@@ -1226,7 +1243,7 @@ def _rows_geometry(
     # Distinct chips a 128-sample row can touch: floor(127*rho) + 2 (partial
     # chips at both ends); num_j = that count (boundary MACs run j=1..num_j-1).
     num_j = int(math.floor(max_chips_per_sample * (LANES - 1))) + 2
-    e8 = (tile_rows + 1 + 7) // 8 * 8
+    e8 = (tile_rows + halo_rows + 7) // 8 * 8
     chips_max = int(math.ceil(max_chips_per_sample * e8 * LANES)) + 2
     crt = (code_length - 1 + chips_max + num_j + 2 * LANES) // LANES + 1
     if num_j > 24:
@@ -1247,14 +1264,18 @@ def prepare_bank_code_tiles_rows(
     tile_rows: int = 256,
     nominal_code_frequency: float | None = None,
     max_chips_per_sample: float | None = None,
+    tap_span: int = 0,
 ) -> jax.Array:
     """Per-channel tiled code tables ``[K, crt, 128]`` for the rows kernel.
 
     Hoist out of `lax.scan` tracking loops like `prepare_bank_code_tiles`.
+    ``tap_span`` = ``max(sample_shifts) - min(sample_shifts)`` of the kernel
+    call the tiles feed (affects the table size for wide spans).
     """
     _, _, crt = _rows_geometry(
         num_samples, tile_rows, float(sampling_frequency), code_length,
         nominal_code_frequency, max_chips_per_sample,
+        halo_rows=_halo_rows_for_span(tap_span),
     )
     code_cols = jnp.take(codes.T, jnp.asarray(prn), axis=0)       # [K, Lc]
     reps_needed = math.ceil(crt * LANES / code_length)
@@ -1426,7 +1447,7 @@ def _bank_rows_kernel(
     deltas: tuple, code_length: int, tile_rows: int, crt: int, num_j: int,
     rho_nom: float, fcar_nom_cyc: float, chans_per_step: int,
     mm_dtype=jnp.bfloat16, tap_mac: str = "sum2d", ablate: str = "none",
-    lane_src: str = "kernel",
+    lane_src: str = "kernel", halo_rows: int = 1,
 ):
     """One (channel-group, tile) step of the per-row boundary bank correlator.
 
@@ -1455,7 +1476,7 @@ def _bank_rows_kernel(
     k = pl.program_id(0)
     i = pl.program_id(1)
     tile = tile_rows * LANES
-    ext = tile_rows + 1
+    ext = tile_rows + halo_rows
     e8 = (ext + 7) // 8 * 8
     lc = jnp.float32(code_length)
 
@@ -1648,16 +1669,17 @@ def correlate_pallas_bank_rows(
     """Per-row boundary fused EPL bank correlator (high-sample-rate flagship).
 
     Same contract as `correlate_pallas_bank` (one shared ``[N]`` / ``[A, N]``
-    front-end block against ``[K]`` channels, ``[K, (A,) L]`` accumulators,
-    tap span < 128 samples). Restricted to chip rates where a 128-sample row
-    touches few chips (``< ~0.17`` chips/sample — GPS L1 above ~6 MHz; use
+    front-end block against ``[K]`` channels, ``[K, (A,) L]`` accumulators).
+    Any tap span: the replica halo carries ``span // 128 + 1`` rows, so the
+    reference envelope's wide-span cells (L1 at fs >= 131 MHz, where one chip
+    spans >= 128 samples) run at bank speed — there the per-row replica gets
+    *cheaper* (``num_j`` ~ 2: at most one chip boundary per 128-lane row).
+    Restricted to chip rates where a 128-sample row touches few chips
+    (``< ~0.17`` chips/sample — GPS L1 above ~6 MHz; use
     `correlate_pallas_bank` below that or for L5-class chip rates).
     """
     span = int(max(sample_shifts)) - int(min(sample_shifts))
-    if span >= LANES:
-        raise ValueError(
-            f"tap span {span} >= {LANES}; use the XLA bank path for wide spans"
-        )
+    halo_rows = _halo_rows_for_span(span)
     squeeze = signal_re.ndim == 1
     if squeeze:
         signal_re, signal_im = signal_re[None], signal_im[None]
@@ -1670,7 +1692,7 @@ def correlate_pallas_bank_rows(
 
     tile_rows, num_j, crt = _rows_geometry(
         num_samples, tile_rows, fs, code_length,
-        nominal_code_frequency, max_chips_per_sample,
+        nominal_code_frequency, max_chips_per_sample, halo_rows=halo_rows,
     )
     tile = tile_rows * LANES
     if code_tiles is None:
@@ -1678,7 +1700,7 @@ def correlate_pallas_bank_rows(
             codes, prn, code_length=code_length, num_samples=num_samples,
             sampling_frequency=fs, tile_rows=tile_rows,
             nominal_code_frequency=nominal_code_frequency,
-            max_chips_per_sample=max_chips_per_sample,
+            max_chips_per_sample=max_chips_per_sample, tap_span=span,
         )
     elif code_tiles.shape[1] != crt:
         raise ValueError(
@@ -1780,7 +1802,7 @@ def correlate_pallas_bank_rows(
         tile_rows=int(tile_rows), crt=int(crt), num_j=int(num_j),
         rho_nom=rho_nom, fcar_nom_cyc=fcar_nom_cyc, chans_per_step=g,
         mm_dtype=matmul_dtype, tap_mac=tap_mac, ablate=ablate,
-        lane_src=lane_src,
+        lane_src=lane_src, halo_rows=halo_rows,
     )
     acc_re, acc_im = pl.pallas_call(
         kernel,
@@ -1809,6 +1831,7 @@ def _comp_geometry(
     max_chips_per_sample: float | None,
     num_ants: int,
     num_taps: int,
+    halo_rows: int = 1,
 ) -> tuple[int, int, int, int]:
     """Static geometry of the composite bank kernel.
 
@@ -1824,6 +1847,7 @@ def _comp_geometry(
         tr_eff, num_j, crt = _rows_geometry(
             num_samples, tr, sampling_frequency, code_length,
             nominal_code_frequency, max_chips_per_sample,
+            halo_rows=halo_rows,
         )
         if al2p * tr_eff * LANES * 4 <= 4 * 2**20 or tr_eff <= 8:
             return tr_eff, num_j, crt, al2p
@@ -1842,11 +1866,13 @@ def prepare_bank_code_tiles_comp(
     max_chips_per_sample: float | None = None,
     num_ants: int = 1,
     num_taps: int = 3,
+    tap_span: int = 0,
 ) -> jax.Array:
     """Per-channel tiled code tables ``[K, crt, 128]`` for the comp kernel."""
     _, _, crt, _ = _comp_geometry(
         num_samples, tile_rows, float(sampling_frequency), code_length,
         nominal_code_frequency, max_chips_per_sample, num_ants, num_taps,
+        halo_rows=_halo_rows_for_span(tap_span),
     )
     code_cols = jnp.take(codes.T, jnp.asarray(prn), axis=0)       # [K, Lc]
     reps_needed = math.ceil(crt * LANES / code_length)
@@ -1860,7 +1886,7 @@ def _bank_comp_kernel(
     rho_nom: float, fcar_nom_cyc: float, chans_per_step: int,
     num_tiles: int, mm_dtype=jnp.bfloat16, contract: str = "flatz",
     mac_precision=jax.lax.Precision.HIGHEST, z_dtype=jnp.float32,
-    ablate: str = "none", lane_src: str = "kernel",
+    ablate: str = "none", lane_src: str = "kernel", halo_rows: int = 1,
 ):
     """One (channel-group, tile) step of the composite bank correlator.
 
@@ -1892,10 +1918,11 @@ def _bank_comp_kernel(
     Output row layout: rows ``0..G-1`` hold ``cos_k * rep_k`` products, rows
     ``G..2G-1`` hold ``sin_k * rep_k`` (the conj minus sign is folded into
     the epilogue). Column layout: ``[S_re-block | S_im-block]``, each block
-    (a, l)-major. The last tile adds a one-pass halo correction: the terms
+    (a, l)-major. The last tile adds a halo correction: the terms
     ``u in [n_pad, n_pad + d_l)`` fall off the padded grid exactly when N is
-    a tile multiple; their S values ride a dedicated ``[2AL, 128]`` input
-    (zero whenever N < n_pad, so the correction is universally safe).
+    a tile multiple; their S values ride a dedicated ``[2AL, H*128]`` input
+    (``H = halo_rows``; zero whenever N < n_pad, so the correction is
+    universally safe), contracted one 128-lane slice per halo row.
     """
     if lane_src == "hoisted":
         (lanecos_ref, lanesin_ref,
@@ -1905,7 +1932,7 @@ def _bank_comp_kernel(
     k = pl.program_id(0)
     i = pl.program_id(1)
     tile = tile_rows * LANES
-    ext = tile_rows + 1
+    ext = tile_rows + halo_rows
     e8 = (ext + 7) // 8 * 8
     lc = jnp.float32(code_length)
     num_g = chans_per_step
@@ -1988,8 +2015,8 @@ def _bank_comp_kernel(
         sin = rs * lcos + rc * lsin
         zc = (cos * rep).astype(z_dtype)
         zs = (sin * rep).astype(z_dtype)
-        hcos.append(zc[tile_rows : tile_rows + 1].astype(jnp.float32))
-        hsin.append(zs[tile_rows : tile_rows + 1].astype(jnp.float32))
+        hcos.append(zc[tile_rows : tile_rows + halo_rows].astype(jnp.float32))
+        hsin.append(zs[tile_rows : tile_rows + halo_rows].astype(jnp.float32))
         if ablate == "nomac":
             continue
         if contract == "diag":
@@ -2061,12 +2088,20 @@ def _bank_comp_kernel(
 
     @pl.when(i == num_tiles - 1)
     def _():
-        zh = jnp.concatenate(hcos + hsin, axis=0)         # [2G, 128]
-        out_ref[...] += jax.lax.dot_general(
-            zh, shalo_ref[...], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        # One [2G, 128] x [2AL, 128]^T correction per halo row (halo rows are
+        # a sublane slice per channel; merging them into lanes would be an
+        # unsupported Mosaic relayout — the shalo lanes are sliced instead).
+        for h in range(halo_rows):
+            zh = jnp.concatenate(
+                [x[h : h + 1] for x in hcos] + [x[h : h + 1] for x in hsin],
+                axis=0,
+            )                                             # [2G, 128]
+            out_ref[...] += jax.lax.dot_general(
+                zh, shalo_ref[:, h * LANES : (h + 1) * LANES],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
 
 
 def correlate_pallas_bank_comp(
@@ -2098,7 +2133,7 @@ def correlate_pallas_bank_comp(
 
     Same contract and chip-rate envelope as `correlate_pallas_bank_rows`
     (shared ``[N]`` / ``[A, N]`` front end, ``[K]`` channel arrays,
-    ``[K, (A,) L]`` accumulators, tap span < 128 samples, < ~0.17
+    ``[K, (A,) L]`` accumulators, any tap span, < ~0.17
     chips/sample). Differs only in accumulator rounding: the carrier-shift
     identity moves the tap shifts onto the signal, so sums are mathematically
     identical but f32-rounded in a different order, and the per-(k, l) phase
@@ -2106,10 +2141,7 @@ def correlate_pallas_bank_comp(
     inside the tracking noise floor; see `_bank_comp_kernel`).
     """
     span = int(max(sample_shifts)) - int(min(sample_shifts))
-    if span >= LANES:
-        raise ValueError(
-            f"tap span {span} >= {LANES}; use the XLA bank path for wide spans"
-        )
+    halo_rows = _halo_rows_for_span(span)
     squeeze = signal_re.ndim == 1
     if squeeze:
         signal_re, signal_im = signal_re[None], signal_im[None]
@@ -2124,6 +2156,7 @@ def correlate_pallas_bank_comp(
     tile_rows, num_j, crt, al2p = _comp_geometry(
         num_samples, tile_rows, fs, code_length,
         nominal_code_frequency, max_chips_per_sample, num_ants, num_taps,
+        halo_rows=halo_rows,
     )
     tile = tile_rows * LANES
     if code_tiles is None:
@@ -2132,7 +2165,7 @@ def correlate_pallas_bank_comp(
             sampling_frequency=fs, tile_rows=tile_rows,
             nominal_code_frequency=nominal_code_frequency,
             max_chips_per_sample=max_chips_per_sample, num_ants=num_ants,
-            num_taps=num_taps,
+            num_taps=num_taps, tap_span=span,
         )
     elif code_tiles.shape[1] != crt:
         raise ValueError(
@@ -2149,15 +2182,17 @@ def correlate_pallas_bank_comp(
     # Shifted signal planes S_{comp, a, l}[u] = sig_a[u - d_l] (comp-major,
     # then antenna, then tap) + the last-tile halo vectors S[n_pad - d_l + m]
     # for m < d_l (automatically zero while N < n_pad: the pad region holds
-    # the shifted-in true samples already).
-    s_rows, halo_rows = [], []
+    # the shifted-in true samples already). Halo width = halo_rows * 128
+    # lanes, covering wide tap spans (d_l >= 128).
+    halo_w = halo_rows * LANES
+    s_rows, halo_planes = [], []
     for sig in (sig_re_p, sig_im_p):
         for a in range(num_ants):
             for dl in deltas:
                 s_rows.append(jnp.pad(sig[a], (dl, 0))[:n_pad])
-                halo_rows.append(
+                halo_planes.append(
                     jnp.pad(sig[a, n_pad - dl :] if dl else sig[a, :0],
-                            (0, LANES - dl))
+                            (0, halo_w - dl))
                 )
     # Flat [al2p, n_pad]: the (a, l)-planes stay T-major so the kernel
     # consumes them without any in-kernel reshape (an HBM reshape is free).
@@ -2172,7 +2207,7 @@ def correlate_pallas_bank_comp(
             .transpose(1, 0, 2)
             .reshape(num_tiles * tile_rows, al2p * LANES)
         )
-    s_halo = _pad_to(jnp.stack(halo_rows, axis=0), al2p, axis=0)
+    s_halo = _pad_to(jnp.stack(halo_planes, axis=0), al2p, axis=0)
 
     rho_nom = (
         float(nominal_code_frequency) / fs
@@ -2241,7 +2276,7 @@ def correlate_pallas_bank_comp(
                 else pl.BlockSpec((al2p, tile), lambda k, i: (0, i),
                                   memory_space=pltpu.VMEM)
             ),
-            pl.BlockSpec((al2p, LANES), lambda k, i: (0, 0),
+            pl.BlockSpec((al2p, halo_w), lambda k, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g, crt, LANES), lambda k, i: (k, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -2266,6 +2301,7 @@ def correlate_pallas_bank_comp(
         num_tiles=int(num_tiles), mm_dtype=matmul_dtype,
         contract=contract, mac_precision=mac_precision,
         z_dtype=z_dtype, ablate=ablate, lane_src=lane_src,
+        halo_rows=halo_rows,
     )
     raw = pl.pallas_call(
         kernel,

@@ -317,6 +317,10 @@ def _bank_code_tile_kwargs(
         tile_kwargs = (
             {} if config.tile_rows is None else {"tile_rows": config.tile_rows}
         )
+        span = int(max(config.sample_shifts)) - int(min(config.sample_shifts))
+        if algorithm in ("pallas_bank_rows", "pallas_bank_comp"):
+            # Wide tap spans (L1 at fs >= 131 MHz) grow the code-tile halo.
+            tile_kwargs["tap_span"] = span
         if algorithm == "pallas_bank_comp":
             tile_kwargs.update(
                 num_ants=num_ants, num_taps=len(config.sample_shifts)

@@ -88,6 +88,18 @@ class TestPallasKernels:
         want = run("fused_xla", system, signal, fs, shifts, prn=3, fcar=2000.0)
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=3.0)
 
+    def test_wide_span(self, algo):
+        # Tap span >= 128 samples (multi-row flat shift, q in {1, 2}) at an
+        # interpret-affordable N — the reference envelope's fs >= 131 MHz
+        # regime, where its mega-kernel keeps working
+        # (`/root/reference/src/algorithms.jl:720-825`).
+        system = GPSL1()
+        signal, fs = gen_signal(system, 0, 1500.0, 4096)
+        shifts = np.array([-150, 0, 163])
+        got = run(algo, system, signal, fs, shifts)
+        want = run("fused_xla", system, signal, fs, shifts)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=0.3)
+
     def test_tile_unaligned_n(self, algo):
         # N = 2500 (not a multiple of the 2048 tile) already covered by golden;
         # also check a sub-tile N.
@@ -390,6 +402,40 @@ class TestBankRowsKernel:
             code_phase=rng.uniform(0, system.code_length, K),
         )
 
+    def test_wide_span_parity(self):
+        # Tap span >= 2*128 samples (the reference envelope's L1 fs >= 131 MHz
+        # regime scaled to an interpret-affordable N): multi-row `_flat_shift`
+        # (q in {1, 2}) + the grown replica halo, vs the per-sample oracle.
+        case = self._random_case(GPSL1(), 8192, 4, seed=5)
+        case["shifts"] = np.array([-160, 0, 170])
+        got = self._run("pallas_bank_rows", **case)
+        want = self._run("xla_bank", **case)
+        np.testing.assert_allclose(got[0], want[0], rtol=2e-3, atol=4.5)
+        np.testing.assert_allclose(got[1], want[1], rtol=2e-3, atol=4.5)
+        # Multi-tile: the tap halo crosses into the next tile's rows.
+        got2 = self._run("pallas_bank_rows", **case, tile_rows=32,
+                         chans_per_step=2)
+        np.testing.assert_allclose(got2[0], want[0], rtol=2e-3, atol=4.5)
+        np.testing.assert_allclose(got2[1], want[1], rtol=2e-3, atol=4.5)
+
+    def test_reference_envelope_wide_cell(self):
+        # GPS L1 at fs = 131.072 MHz (N = 2^17): unit tap shift = 64 samples,
+        # L=3 span = 128 — the smallest envelope cell round 4 could not serve
+        # at bank speed (`/root/reference/scripts/run_benchmarks_gpsl1.jl:8`).
+        # The auto route must resolve to the rows kernel and match the oracle.
+        from gpuacceleratedtracking_tpu.ops.pallas_epl import bank_algorithm_for
+
+        system = GPSL1()
+        assert bank_algorithm_for(
+            131072, 131.072e6, 1023, system.code_frequency
+        ) == "pallas_bank_rows"
+        case = self._random_case(system, 131072, 2, seed=9)
+        assert int(case["shifts"].max() - case["shifts"].min()) >= 128
+        got = self._run("pallas_bank_auto", **case)
+        want = self._run("xla_bank", **case)
+        np.testing.assert_allclose(got[0], want[0], rtol=2e-3, atol=8.0)
+        np.testing.assert_allclose(got[1], want[1], rtol=2e-3, atol=8.0)
+
     def test_rowmm_tap_mac_matches_sum2d(self):
         # The MXU-reduction tap MAC ("rowmm": ones-vector lane contraction +
         # per-antenna selector row contraction) must agree with the shipped
@@ -596,6 +642,22 @@ class TestBankCompKernel:
             are[:, :, 1], np.full((2, 2), 32768.0), rtol=1e-5
         )
 
+    def test_wide_span_multi_antenna(self):
+        # Wide taps + M=2: the comp kernel's signal shifts exceed one lane
+        # row and the last-tile halo correction spans halo_rows 128-lane
+        # slices (N == n_pad at tile_rows=32, so the correction carries real
+        # payload).
+        system = GPSL1()
+        case = self._random_case(system, 8192, 3, seed=6)
+        signal, _ = gen_signal(system, 0, 1500.0, 8192, num_ants=2)
+        case["sre"], case["sim"] = soa(signal)
+        case["shifts"] = np.array([-160, 0, 170])
+        got = self._run("pallas_bank_comp", **case, chans_per_step=2,
+                        tile_rows=32)
+        want = self._run("xla_bank", **case)
+        np.testing.assert_allclose(got[0], want[0], rtol=2e-3, atol=4.5)
+        np.testing.assert_allclose(got[1], want[1], rtol=2e-3, atol=4.5)
+
     def test_unaligned_n(self):
         # N=20000 (not a tile multiple): the shifted-in tail rides the S
         # padding region and the halo input is all zeros.
@@ -620,8 +682,10 @@ def test_registry_names():
         registry.get("nope")
 
 
-def test_wide_span_fallback():
-    # Tap span >= 128 samples falls back to the taps kernel transparently.
+def test_wide_span_fused_native():
+    # Tap span >= 128 samples runs NATIVELY in the fused kernel (multi-row
+    # replica halo) — a true reference-envelope cell (L=7 at 131 MHz, span
+    # 384 samples) that round 4 served only via the taps fallback.
     system = GPSL1()
     N = 131072  # 131 MHz: unit shift = 64 samples, span 7 taps = 384
     signal, fs = gen_signal(system, 0, 1500.0, N)
