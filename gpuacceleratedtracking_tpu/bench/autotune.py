@@ -78,11 +78,44 @@ def best_launch(
     num_taps: int = 3,
     gnss: str = "GPSL1",
     cache_path: pathlib.Path = _CACHE_PATH,
+    on_miss: str = "warn",
 ) -> dict:
-    """Cached optimal launch kwargs (tile_rows + chans_per_step)."""
+    """Cached optimal launch kwargs (tile_rows + chans_per_step).
+
+    ``on_miss`` controls behavior when the scenario key is absent from the
+    cache — kernel defaults can under-report a bank kernel by up to 40 %
+    (CLAUDE.md), so a benchmark must never hit them silently:
+
+    - ``"warn"`` (default): loud `warnings.warn` + kernel defaults,
+    - ``"autotune"``: run `autotune_tile_rows` for the scenario, then use it,
+    - ``"raise"``: `KeyError`,
+    - ``"default"``: silent kernel defaults (oracle/CPU comparison cells).
+    """
     key = _cache_key(algorithm, num_channels, num_samples, num_ants, num_taps, gnss)
     entry = _load_cache(cache_path).get(key)
+    if not entry and on_miss == "autotune":
+        autotune_tile_rows(
+            algorithm, num_channels, num_samples, num_ants, num_taps, gnss,
+            cache_path=cache_path,
+        )
+        entry = _load_cache(cache_path).get(key)
     if not entry:
+        if on_miss == "raise":
+            raise KeyError(
+                f"no autotune cache entry for {key}; run "
+                "bench.autotune.autotune_tile_rows for this scenario"
+            )
+        if on_miss != "default":
+            import warnings
+
+            warnings.warn(
+                f"autotune cache MISS for {key}: running with kernel "
+                f"defaults (tile_rows={DEFAULT_TILE_ROWS}, chans_per_step="
+                f"{DEFAULT_CHANS_PER_STEP}) — launch-shape defaults cost up "
+                "to 40% on bank kernels; tune via autotune_tile_rows or pass "
+                "autotune_on_miss=True to the benchmark config",
+                stacklevel=2,
+            )
         return {
             "tile_rows": DEFAULT_TILE_ROWS,
             "chans_per_step": DEFAULT_CHANS_PER_STEP,

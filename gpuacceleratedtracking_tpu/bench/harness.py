@@ -230,6 +230,10 @@ def run_track_benchmark(config: dict) -> dict:
         launch = best_launch(
             algorithm, num_channels, num_samples, num_ants, num_correlators,
             config["GNSS"],
+            on_miss=(
+                "autotune" if config.get("autotune_on_miss")
+                else ("warn" if processor == "TPU" else "default")
+            ),
         )
     cfg = TrackConfig.for_system(
         system, fs, num_samples, num_correlators=num_correlators,
@@ -309,6 +313,10 @@ def run_dual_track_benchmark(config: dict) -> dict:
         launch = best_launch(
             algorithm, 2 * num_channels, num_samples, 1, num_correlators,
             "GPSL5",
+            on_miss=(
+                "autotune" if config.get("autotune_on_miss")
+                else ("warn" if processor == "TPU" else "default")
+            ),
         )
     cfg = dual_config(TrackConfig.for_system(
         sys_i, fs, num_samples, num_correlators=num_correlators,

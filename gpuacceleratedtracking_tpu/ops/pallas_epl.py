@@ -2414,6 +2414,21 @@ def correlate_pallas_bank_auto(
         "pallas_bank_comp": correlate_pallas_bank_comp,
         "pallas_bank": correlate_pallas_bank,
     }[algo]
+    if (
+        jnp.dtype(z_dtype) == jnp.dtype(jnp.bfloat16)
+        and algo != "pallas_bank_comp"
+    ):
+        # bank_algorithm_for routes bf16-z to the comp kernel whenever the
+        # geometry allows; landing elsewhere means the scenario cannot honor
+        # the requested tracking-grade mode — say so instead of silently
+        # computing in f32.
+        import warnings
+
+        warnings.warn(
+            f"z_dtype=bfloat16 requested but the resolved kernel {algo!r} "
+            "does not support bf16 accumulator planes; running in f32",
+            stacklevel=2,
+        )
     extra = (
         {"z_dtype": z_dtype, "mac_precision": mac_precision}
         if algo == "pallas_bank_comp"

@@ -11,6 +11,7 @@ host work per chunk is one async dispatch plus the (tiny) output readback.
 from __future__ import annotations
 
 import dataclasses
+import statistics
 import time
 from typing import Iterator, Optional
 
@@ -43,8 +44,13 @@ class StreamResult:
 
     @property
     def steady_block_s(self) -> Optional[float]:
-        ts = sorted(self.dispatch_block_s)
-        return ts[len(ts) // 2] if ts else None
+        # The first dispatch carries the jit compile — drop it outright, then
+        # take the interpolating median of the rest (an upper-middle pick on
+        # an even count would re-admit the largest entry).
+        if not self.dispatch_block_s:
+            return None
+        rest = self.dispatch_block_s[1:]
+        return statistics.median(rest) if rest else self.dispatch_block_s[0]
 
 
 class StreamTracker:
@@ -58,6 +64,12 @@ class StreamTracker:
     snapshots so an interrupted run resumes at block granularity (the
     closed-loop analog of the reference's per-config `@tagsave` resume,
     `/root/reference/scripts/run_benchmarks_gpsl1.jl:24-27`; SURVEY.md §5.4).
+
+    ``measure_dispatch`` (default False) host-fences every dispatch chunk to
+    time it — benchmark instrumentation only. In deployment leave it off:
+    the fence serializes chunk i's device compute against chunk i+1's IQ
+    decode/stacking, so the production path stays one async dispatch of host
+    work per chunk and `dispatch_block_s` stays empty.
     """
 
     def __init__(
@@ -68,6 +80,7 @@ class StreamTracker:
         blocks_per_dispatch: int = 20,
         checkpoint_path=None,
         checkpoint_every: int = 200,
+        measure_dispatch: bool = False,
     ):
         self.config = config
         self.codes = jnp.asarray(codes)
@@ -75,6 +88,7 @@ class StreamTracker:
         self.blocks_per_dispatch = blocks_per_dispatch
         self.checkpoint_path = checkpoint_path
         self.checkpoint_every = checkpoint_every
+        self.measure_dispatch = measure_dispatch
         self._since_checkpoint = 0
 
     def save_checkpoint(self, blocks_done: int) -> None:
@@ -114,10 +128,12 @@ class StreamTracker:
             b = len(chunk_re)
             t0 = time.perf_counter()
             out = self.process(np.stack(chunk_re), np.stack(chunk_im))
-            # True fence: materialize one output leaf (block_until_ready is
-            # lazy on tunneled backends — CLAUDE.md).
-            np.asarray(out.prompt_re)
-            dispatch_block_s.append((time.perf_counter() - t0) / b)
+            if self.measure_dispatch:
+                # True fence: materialize one output leaf (block_until_ready
+                # is lazy on tunneled backends — CLAUDE.md). Benchmark-only:
+                # this blocks the host for the chunk's device compute.
+                np.asarray(out.prompt_re)
+                dispatch_block_s.append((time.perf_counter() - t0) / b)
             outputs.append(out)
             processed += b
 

@@ -280,13 +280,23 @@ def _bank_kernel_kwargs(config: TrackConfig) -> dict:
             and config.algorithm != "pallas_bank_onehot"
         ):
             kwargs["chans_per_step"] = config.chans_per_step
-    if config.z_dtype == "bf16" and config.algorithm in (
-        "pallas_bank_comp", "pallas_bank_auto",
-    ):
-        # The measured tracking-grade mode (data/benchmarks/comp_ab.json) is
-        # bf16 z-planes WITH default-precision MACs — both halve the stream.
-        kwargs["z_dtype"] = jnp.bfloat16
-        kwargs["mac_precision"] = jax.lax.Precision.DEFAULT
+    if config.z_dtype == "bf16":
+        if config.algorithm in ("pallas_bank_comp", "pallas_bank_auto"):
+            # The measured tracking-grade mode (data/benchmarks/comp_ab.json)
+            # is bf16 z-planes WITH default-precision MACs — both halve the
+            # stream. (For "pallas_bank_auto", correlate_pallas_bank_auto
+            # itself warns if the resolved kernel cannot honor bf16-z.)
+            kwargs["z_dtype"] = jnp.bfloat16
+            kwargs["mac_precision"] = jax.lax.Precision.DEFAULT
+        else:
+            import warnings
+
+            warnings.warn(
+                f"TrackConfig(z_dtype='bf16') is ignored by algorithm "
+                f"{config.algorithm!r} (only the composite bank kernel has "
+                "bf16 accumulator planes); tracking runs in f32",
+                stacklevel=2,
+            )
     return kwargs
 
 

@@ -135,7 +135,7 @@ def mixed_track_table():
     print("\n### Mixed L1+L5 closed loop on ONE chip "
           "(both banks every block; median±IQR ms/block)\n")
     print("| L1 chans | L5 dual | L5 fs MHz | total | ms/block | rt ratio "
-          "| chips for real time |")
+          "| chips for real time (linear est.) |")
     print("|---|---|---|---|---|---|---|")
     for r in sorted(rows, key=lambda r: (r["l1_channels"],
                                          r.get("l5_num_samples", 0))):
@@ -150,7 +150,7 @@ def mixed_track_table():
         print(f"| {r['l1_channels']} | {r['l5_dual_channels']} "
               f"| {n5/1e3:.3f} | {total} "
               f"| {ms} | {r['realtime_ratio']:.2f} "
-              f"| {r['chips_for_realtime']} |")
+              f"| {r.get('chips_for_realtime_linear_est', r.get('chips_for_realtime'))} |")
 
 
 def accuracy_table():

@@ -137,14 +137,19 @@ def main():
         res["realtime_ratio"] = floor / REALTIME_BOUND_S
         res["realtime_channels"] = total * REALTIME_BOUND_S / floor
         res["samples_per_s"] = (k1 + 2 * k5) * N / floor
-        # Chips needed so THIS mix runs inside real time (ceil of ratio):
-        # the measured basis for the v5e-8 north-star claim.
-        res["chips_for_realtime"] = int(np.ceil(floor / REALTIME_BOUND_S))
+        # Chips needed so THIS mix runs inside real time, ASSUMING linear
+        # scaling when the heterogeneous mix splits across chips (per-launch
+        # fixed costs make real splits slightly worse; derive production
+        # chip counts from measured per-chip sub-mix cells like the 512+32
+        # re-measurement instead).
+        res["chips_for_realtime_linear_est"] = int(
+            np.ceil(floor / REALTIME_BOUND_S)
+        )
         add_metadata(res, "TPU", "pallas_bank_auto")
         path.write_text(json.dumps(res, indent=1))
         print(json.dumps({k: res[k] for k in (
             "l1_channels", "l5_dual_channels", "Median", "realtime_ratio",
-            "realtime_channels", "chips_for_realtime",
+            "realtime_channels", "chips_for_realtime_linear_est",
         )}))
 
 

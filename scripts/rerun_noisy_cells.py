@@ -80,7 +80,11 @@ def main():
         except Exception as e:
             print(f"  FAILED (kept old data): {e!r}"[:200])
             continue
-        res["reps"] = "auto"   # keep the sweep-key schema / savename stable
+        # Record the true deep-scan protocol in the primary field; the
+        # sweep-schema value moves to reps_requested (filenames/resume are
+        # derived from the config, not this dict, so nothing destabilizes).
+        res["reps"] = res["reps_resolved"]
+        res["reps_requested"] = "auto"
         new_iqr = iqr(res["times"])
         print(f"  old {d['Median'] * 1e6:.1f}µs (IQR {iqr(d['times']) * 1e6:.1f})"
               f" -> new {res['Median'] * 1e6:.1f}µs"

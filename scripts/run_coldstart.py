@@ -236,7 +236,7 @@ def run_l1(capture: pathlib.Path, report: dict) -> dict:
     ckpt = OUT_DATA / "l1_checkpoint.npz"
     tracker = StreamTracker(
         config, system.codes, states, blocks_per_dispatch=60,
-        checkpoint_path=ckpt, checkpoint_every=100,
+        checkpoint_path=ckpt, checkpoint_every=100, measure_dispatch=True,
     )
     # First leg: track half the capture, checkpointing along the way ...
     t_track = time.perf_counter()
@@ -247,7 +247,7 @@ def run_l1(capture: pathlib.Path, report: dict) -> dict:
     # checkpoint file and continues where the first process stopped.
     tracker2 = StreamTracker(
         config, system.codes, init_state(np.asarray(states.prn)),
-        blocks_per_dispatch=60, checkpoint_path=ckpt,
+        blocks_per_dispatch=60, checkpoint_path=ckpt, measure_dispatch=True,
     )
     done = tracker2.load_checkpoint()
     with IQFile(capture, "int8", 1.0 / L1["scale"]) as f:

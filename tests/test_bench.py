@@ -164,6 +164,48 @@ class TestHarness:
         # Unseen scenario falls back to the default.
         assert best_tile_rows("pallas_bank", 7, 4096, cache_path=cache) == 256
 
+    def test_best_launch_miss_guard(self, tmp_path):
+        # A benchmark path must never silently run kernel defaults: on a
+        # cache miss best_launch warns by default, raises on demand, and
+        # "autotune" fills the cache and uses it (VERDICT r4 item 6; analog:
+        # occupancy launch_configuration,
+        # /root/reference/src/benchmarks.jl:363-374).
+        from gpuacceleratedtracking_tpu.bench.autotune import best_launch
+
+        cache = tmp_path / "autotune.json"
+        with pytest.warns(UserWarning, match="autotune cache MISS"):
+            launch = best_launch("pallas_bank", 2, 2048, cache_path=cache)
+        assert launch == {"tile_rows": 256, "chans_per_step": 1}
+        with pytest.raises(KeyError, match="no autotune cache entry"):
+            best_launch("pallas_bank", 2, 2048, cache_path=cache,
+                        on_miss="raise")
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("error")    # silent mode must not warn
+            best_launch("pallas_bank", 2, 2048, cache_path=cache,
+                        on_miss="default")
+        # on_miss="autotune" tunes the scenario and returns a cached entry
+        # (tuned with a light candidate set to keep interpret-mode fast).
+        import functools as _ft
+
+        import gpuacceleratedtracking_tpu.bench.autotune as at
+
+        real = at.autotune_tile_rows
+        at.autotune_tile_rows = _ft.partial(
+            real, candidates=(8, 16), groups=(1, 2), reps=(1, 2), trials=1,
+        )
+        try:
+            launch = best_launch(
+                "pallas_bank", 2, 2048, cache_path=cache, on_miss="autotune",
+            )
+        finally:
+            at.autotune_tile_rows = real
+        assert json.loads(cache.read_text())
+        assert best_launch(
+            "pallas_bank", 2, 2048, cache_path=cache, on_miss="raise",
+        ) == launch
+
     def test_replica_benchmark_smoke(self):
         res = run_replica_benchmark(
             {

@@ -290,6 +290,45 @@ class TestClosedLoop:
             np.asarray(outs["bf16"].code_phase),
             np.asarray(outs["f32"].code_phase), rtol=1e-4, atol=5e-3)
 
+    def test_bf16z_unsupported_kernel_warns(self):
+        # ADVICE r4: a requested tracking-grade bf16-z mode must not degrade
+        # to f32 silently — both the auto wrapper (geometry fallback) and the
+        # TrackConfig kwargs path (incompatible algorithm) signal it.
+        import functools
+        import warnings
+
+        from gpuacceleratedtracking_tpu.ops import registry
+        from gpuacceleratedtracking_tpu.tracking.track import (
+            _bank_kernel_kwargs,
+        )
+
+        system = GPSL1()
+        N = 2500   # 0.41 chips/sample: auto falls back to pallas_bank
+        fs = N / 1e-3
+        signal, _ = gen_signal(system, 0, 1500.0, N)
+        sre, sim = soa(signal)
+        z = jnp.zeros(2, jnp.float32)
+        fn = functools.partial(
+            registry.get("pallas_bank_auto"), sre, sim,
+            jnp.asarray(system.codes), jnp.arange(2, dtype=jnp.int32),
+            z + 1500.0, fs, carrier_phase=z,
+            code_frequency=z + system.code_frequency, code_phase=z,
+            sample_shifts=(-1, 0, 1), code_length=system.code_length,
+            nominal_code_frequency=system.code_frequency,
+            z_dtype=jnp.bfloat16,
+        )
+        with pytest.warns(UserWarning, match="does not support bf16"):
+            fn()
+        with pytest.warns(UserWarning, match="ignored by algorithm"):
+            _bank_kernel_kwargs(TrackConfig.for_system(
+                system, fs, N, algorithm="pallas_bank_rows", z_dtype="bf16",
+            ))
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")   # supported combos stay silent
+            _bank_kernel_kwargs(TrackConfig.for_system(
+                system, fs, N, algorithm="pallas_bank_comp", z_dtype="bf16",
+            ))
+
     def test_track_bank_channels_independent(self):
         # Two channels, different PRNs/Dopplers, one shared front-end stream:
         # sum of two satellite signals; both channels must lock onto their own.
