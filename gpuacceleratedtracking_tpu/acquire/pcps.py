@@ -5,9 +5,12 @@ The reference benchmarks tracking only; its ecosystem's acquisition
 construction at `/root/reference/src/benchmarks.jl:54`) is re-provided here
 TPU-natively so a user can run the full cold-start -> track pipeline on chip:
 
-- circular correlation over all code phases at once via ``FFT * conj(FFT)``
-  (XLA lowers FFTs onto the TPU efficiently — no Pallas needed; the MXU/VPU
-  pipeline stays for the tracking hot loop),
+- circular correlation over all code phases at once via ``FFT * conj(FFT)``,
+  with TWO interchangeable transform engines (``fft_mode``): ``"fft"`` =
+  ``jnp.fft`` (host CPU / backends with an FFT lowering) and ``"matmul"`` =
+  the four-step matmul DFT on split f32 planes (`acquire.dftmm`) — the
+  on-chip path for the axon TPU plugin, which has no FFT lowering and no
+  complex64 host transfers,
 - Doppler bins batched with `lax.map` over a vmapped kernel so VMEM/HBM use is
   bounded at ``bin_batch x K x N`` complex words,
 - K satellites searched simultaneously (the code-table FFT is one batched FFT).
@@ -27,6 +30,16 @@ import numpy as np
 
 from ..models.signal import upsample_code
 from ..models.system import GNSSSystem
+from . import dftmm
+
+
+def _fft_pair(re, im, mode: str, inverse: bool = False):
+    """(I)DFT over the last axis on split planes, engine per ``mode``."""
+    if mode == "fft":
+        z = jax.lax.complex(re, im)
+        z = jnp.fft.ifft(z) if inverse else jnp.fft.fft(z)
+        return jnp.real(z), jnp.imag(z)
+    return dftmm.dft(re, im, inverse=inverse)
 
 
 class AcquisitionResult(NamedTuple):
@@ -42,33 +55,38 @@ class AcquisitionResult(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "num_samples", "code_length", "num_bins", "bin_batch",
+        "num_samples", "code_length", "num_bins", "bin_batch", "fft_mode",
     ),
 )
 def _pcps_impl(
-    signal_re, signal_im, code_ffts, dopplers, sampling_frequency,
-    intermediate_frequency, code_frequency, num_samples, code_length,
-    num_bins, bin_batch,
+    signal_re, signal_im, code_fft_re, code_fft_im, dopplers,
+    sampling_frequency, intermediate_frequency, code_frequency, num_samples,
+    code_length, num_bins, bin_batch, fft_mode,
 ):
     n = jnp.arange(num_samples, dtype=jnp.float32)
-    sig = jax.lax.complex(signal_re, signal_im)
     # Noncoherent integration: ``signal_*`` may carry a leading rounds axis
     # [R, N]; per-round correlation powers are summed (phase-insensitive, so
-    # data-bit flips between rounds don't cancel the peak).
-    if sig.ndim == 1:
-        sig = sig[None, :]
+    # data-bit flips between rounds don't cancel the peak). Everything runs
+    # on split re/im f32 planes — no complex dtype anywhere, so the same
+    # graph lowers on the axon TPU plugin (no complex64 support) and on CPU.
+    if signal_re.ndim == 1:
+        signal_re, signal_im = signal_re[None, :], signal_im[None, :]
 
     def one_bin(doppler):
         f = (intermediate_frequency + doppler) / sampling_frequency
         cyc = f * n
         cyc = cyc - jnp.floor(cyc)
         theta = (2 * jnp.pi) * cyc
-        carrier = jax.lax.complex(jnp.cos(theta), -jnp.sin(theta))
-        s_fft = jnp.fft.fft(sig * carrier[None, :])          # [R, N]
-        corr = jnp.fft.ifft(
-            s_fft[:, None, :] * jnp.conj(code_ffts)[None]
-        )                                                    # [R, K, N]
-        return jnp.sum(jnp.abs(corr) ** 2, axis=0)           # [K, N]
+        c, s = jnp.cos(theta), jnp.sin(theta)
+        # Wipe-off: sig * conj(carrier).
+        mr = signal_re * c[None, :] + signal_im * s[None, :]
+        mi = signal_im * c[None, :] - signal_re * s[None, :]
+        sr, si = _fft_pair(mr, mi, fft_mode)                 # [R, N]
+        # S * conj(C) per satellite.
+        pr = sr[:, None, :] * code_fft_re[None] + si[:, None, :] * code_fft_im[None]
+        pi = si[:, None, :] * code_fft_re[None] - sr[:, None, :] * code_fft_im[None]
+        qr, qi = _fft_pair(pr, pi, fft_mode, inverse=True)   # [R, K, N]
+        return jnp.sum(qr * qr + qi * qi, axis=0)            # [K, N]
 
     # lax.map over bin batches bounds memory to [bin_batch, K, N].
     pad_bins = (num_bins + bin_batch - 1) // bin_batch * bin_batch
@@ -125,6 +143,7 @@ def acquire(
     max_doppler: float = 5000.0,
     doppler_step: Optional[float] = None,
     bin_batch: int = 8,
+    fft_mode: str = "auto",
 ) -> AcquisitionResult:
     """Search ``prns`` (0-based) in a signal block over a Doppler grid.
 
@@ -134,12 +153,17 @@ def acquire(
     don't cancel; rounds should be consecutive blocks of one code period
     each (code phase then aligns across rounds up to Doppler drift).
     ``doppler_step`` defaults to ``2/(3 T)`` — the standard 2/3-bin spacing
-    for coherent integration time ``T = N / fs``. Returns estimates aligned
+    for coherent integration time ``T = N / fs``. ``fft_mode``: ``"fft"``
+    (`jnp.fft` — backends with an FFT lowering), ``"matmul"`` (MXU matmul
+    DFT, the on-chip path — see `acquire.dftmm`), or ``"auto"`` (matmul on
+    TPU, fft elsewhere). Returns estimates aligned
     with ``prns``; ``peak_metric`` is the deflection coefficient
     ``(peak - mu)/sigma`` of the winning Doppler plane — the noise-only
     maximum over the search grid sits near ``sqrt(2 ln(D N))`` (~5), so
     accept at roughly > 8; noncoherent rounds raise it by ~sqrt(R).
     """
+    if fft_mode == "auto":
+        fft_mode = "matmul" if jax.default_backend() == "tpu" else "fft"
     num_samples = signal_re.shape[-1]
     t = num_samples / sampling_frequency
     if doppler_step is None:
@@ -154,13 +178,16 @@ def acquire(
         jnp.asarray(system.codes), prns, num_samples, system.code_frequency,
         sampling_frequency, 0.0, system.code_length,
     )                                                   # [K, N]
-    code_ffts = jnp.fft.fft(chips.astype(jnp.complex64))
+    cf_re, cf_im = _fft_pair(
+        chips.astype(jnp.float32), jnp.zeros_like(chips, jnp.float32),
+        fft_mode,
+    )
 
     doppler, code_phase, metric, peak = _pcps_impl(
-        signal_re, signal_im, code_ffts, dopplers,
+        signal_re, signal_im, cf_re, cf_im, dopplers,
         float(sampling_frequency), float(intermediate_frequency),
         float(system.code_frequency), int(num_samples),
-        int(system.code_length), int(num_bins), int(bin_batch),
+        int(system.code_length), int(num_bins), int(bin_batch), fft_mode,
     )
     return AcquisitionResult(
         prn=prns, carrier_doppler=doppler, code_phase=code_phase,

@@ -356,18 +356,17 @@ def run_dual_track_benchmark(config: dict) -> dict:
 
 
 def run_acquire_benchmark(config: dict) -> dict:
-    """Benchmark PCPS acquisition: FFT circular correlation over a Doppler
-    grid, K PRNs searched at once, noncoherent round summation.
+    """Benchmark PCPS acquisition: circular correlation over a Doppler grid,
+    K PRNs searched at once, noncoherent round summation.
 
-    This subsystem runs on the HOST CPU path by design: the tunneled axon
-    TPU plugin has no FFT lowering (documented limitation, RESULTS.md), and
-    a deployed receiver acquires rarely but tracks continuously — the chip
-    belongs to the tracking loop. Role match: Acquisition.jl feeding
-    Tracking.jl in the reference ecosystem
-    (`/root/reference/src/benchmarks.jl:54`).
+    Two engines (`acquire.pcps`): ``processor="CPU"`` times the host
+    `jnp.fft` path; ``processor="TPU"`` times the ON-CHIP four-step matmul
+    DFT (`acquire.dftmm`) — the axon plugin has no FFT lowering, so the MXU
+    carries the transforms. Role match: Acquisition.jl feeding Tracking.jl
+    in the reference ecosystem (`/root/reference/src/benchmarks.jl:54`).
 
-    Keys: ``GNSS``, ``num_samples``, ``num_prns``, optional ``rounds``
-    (noncoherent), ``max_doppler``/``doppler_step``, ``trials``.
+    Keys: ``GNSS``, ``num_samples``, ``num_prns``, optional ``processor``,
+    ``rounds`` (noncoherent), ``max_doppler``/``doppler_step``, ``trials``.
     Reported unit: one full acquisition call (all PRNs x all bins x rounds).
     """
     import numpy as np
@@ -379,13 +378,15 @@ def run_acquire_benchmark(config: dict) -> dict:
     num_prns = int(config.get("num_prns", 8))
     rounds = int(config.get("rounds", 1))
     trials = int(config.get("trials", 7))
+    processor = config.get("processor", "CPU")
+    fft_mode = "matmul" if processor == "TPU" else "fft"
     max_doppler = float(config.get("max_doppler", 5000.0))
     fs = num_samples / 1e-3
     t = num_samples / fs
     doppler_step = float(config.get("doppler_step", 2.0 / (3.0 * t)))
     num_bins = int(2 * max_doppler / doppler_step) + 1
 
-    device = _resolve_device("CPU")
+    device = _resolve_device(processor)
     signal, _ = gen_signal(
         system, 0, 1200.0, num_samples * rounds, duration=rounds * 1e-3
     )
@@ -400,7 +401,7 @@ def run_acquire_benchmark(config: dict) -> dict:
     def run():
         return acquire(
             system, sre, sim, prns, fs, max_doppler=max_doppler,
-            doppler_step=doppler_step,
+            doppler_step=doppler_step, fft_mode=fft_mode,
         )
 
     stats = benchmark(run, trials=trials)
@@ -409,7 +410,8 @@ def run_acquire_benchmark(config: dict) -> dict:
     results["num_bins"] = num_bins
     results["rounds"] = rounds
     results["num_prns"] = num_prns
-    return add_metadata(results, "CPU", "pcps")
+    results["fft_mode"] = fft_mode
+    return add_metadata(results, processor, "pcps")
 
 
 def run_reduction_benchmark(config: dict) -> dict:

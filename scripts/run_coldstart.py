@@ -191,23 +191,28 @@ def acquire_band(system, path, n, fs, rounds=6, accept=20.0,
     sre, sim = read_blocks(path, n, rounds)
     # 150 Hz bins: the default 2/(3T) grid leaves up to ~333 Hz of initial
     # Doppler error, which costs most of a second of PLL pull-in time.
-    # PCPS runs PINNED to the host CPU device: the axon TPU plugin has no
-    # FFT lowering (documented backend limitation, RESULTS.md) — acquisition
-    # is host-side by design; only the tracking loop belongs on the chip.
-    with jax.default_device(_CPU):
-        res = acquire(system, jnp.asarray(sre), jnp.asarray(sim),
-                      np.arange(system.codes.shape[1]), fs,
-                      doppler_step=doppler_step)
-        res = jax.tree.map(np.asarray, res)
+    # PCPS runs on the DEFAULT backend: on chip via the four-step matmul DFT
+    # (`acquire.dftmm` — the axon plugin has no FFT lowering, so the MXU
+    # carries the transforms; fft_mode="auto" resolves it), host jnp.fft
+    # under --cpu. All-f32 split planes either way (no complex transfers).
+    res = acquire(system, jnp.asarray(sre), jnp.asarray(sim),
+                  np.arange(system.codes.shape[1]), fs,
+                  doppler_step=doppler_step)
+    res = jax.tree.map(np.asarray, res)
     metric = np.asarray(res.peak_metric)
     hits = np.flatnonzero(metric > accept)
     return res, hits
+
+
+def _acq_engine() -> str:
+    return "matmul-dft" if jax.default_backend() == "tpu" else "fft"
 
 
 def run_l1(capture: pathlib.Path, report: dict) -> dict:
     system = GPSL1()
     res, hits = acquire_band(system, capture, L1["n"], L1["fs"])
     report["l1_acquisition"] = {
+        "engine": _acq_engine(),
         "searched_prns": int(system.codes.shape[1]),
         "accepted": [
             {
@@ -297,6 +302,7 @@ def run_l5(capture: pathlib.Path, report: dict) -> dict:
     res, hits = acquire_band(sys_q, capture, L5["n"], L5["fs"], rounds=16,
                              doppler_step=50.0)
     report["l5_acquisition"] = {
+        "engine": _acq_engine(),
         "accepted": [
             {
                 "prn": int(p),

@@ -36,6 +36,56 @@ class TestPCPS:
         assert np.all(err < 0.3), got_phase
         assert np.all(np.asarray(res.peak_metric) > 10.0)
 
+    def test_matmul_dft_mode_matches_fft(self):
+        # The on-chip engine (four-step matmul DFT on split planes — the
+        # axon plugin has no FFT lowering) must reproduce the host FFT
+        # estimates exactly at the decision level and the detection
+        # statistics to f32 tolerance. Noise on: exercises real floors.
+        import jax
+
+        system, prns, dops, phases, sig, fs = _scenario(
+            key=jax.random.key(7), noise_std=1.5)
+        sre, sim = soa(sig)
+        ref = acquire(system, sre, sim, prns, fs, max_doppler=4000.0,
+                      fft_mode="fft")
+        got = acquire(system, sre, sim, prns, fs, max_doppler=4000.0,
+                      fft_mode="matmul")
+        np.testing.assert_array_equal(
+            np.asarray(got.carrier_doppler), np.asarray(ref.carrier_doppler))
+        np.testing.assert_allclose(
+            np.asarray(got.code_phase), np.asarray(ref.code_phase),
+            atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(got.peak_metric), np.asarray(ref.peak_metric),
+            rtol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(got.power), np.asarray(ref.power), rtol=1e-4)
+
+    def test_matmul_dft_noncoherent_rounds(self):
+        # Rounds axis + matmul engine (the shape the on-chip coldstart runs).
+        import jax
+
+        system = GPSL1()
+        prns = np.array([5, 22])
+        N, R = 2048, 4
+        sig, fs = gen_signal_mixed(
+            system, prns, np.array([950.0, -1800.0]), N * R,
+            duration=R * 1e-3, start_code_phases=np.array([300.0, 77.0]),
+            noise_std=2.0, key=jax.random.key(11),
+        )
+        sre, sim = soa(sig)
+        ref = acquire(system, sre.reshape(R, N), sim.reshape(R, N), prns, fs,
+                      max_doppler=2000.0, fft_mode="fft")
+        got = acquire(system, sre.reshape(R, N), sim.reshape(R, N), prns, fs,
+                      max_doppler=2000.0, fft_mode="matmul")
+        np.testing.assert_array_equal(
+            np.asarray(got.carrier_doppler), np.asarray(ref.carrier_doppler))
+        np.testing.assert_allclose(
+            np.asarray(got.code_phase), np.asarray(ref.code_phase), atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(got.peak_metric), np.asarray(ref.peak_metric),
+            rtol=1e-3)
+
     def test_rejects_absent_prn(self):
         system, prns, dops, phases, sig, fs = _scenario()
         sre, sim = soa(sig)
