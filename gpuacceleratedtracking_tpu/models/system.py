@@ -15,7 +15,7 @@ import functools
 
 import numpy as np
 
-from . import glonass_l1, gpsl1, gpsl5
+from . import galileo_e1, glonass_l1, gpsl1, gpsl5
 
 
 @dataclasses.dataclass(frozen=True)
@@ -88,11 +88,37 @@ def GLONASSL1() -> GNSSSystem:
     )
 
 
+@functools.lru_cache(maxsize=None)
+def GalileoE1(pilot: bool = False, with_secondary: bool = True) -> GNSSSystem:
+    """Galileo E1 OS as a BOC(1,1)-expanded code system (4th family).
+
+    The subcarrier meander is folded into the code table (half-chip pairs
+    ``(+c, -c)``): code_length 8184 half-chips at 2.046 Mcps, 4 ms primary
+    period — phase units are HALF-chips (divide by 2 for ICD chips), and
+    every correlator kernel works unchanged at doubled transition density.
+    ``pilot=True`` = E1-C (dataless, CS25 overlay — track with the atan2
+    PLL discriminator); else E1-B (data). Primary codes are documented
+    STAND-INS for the ICD memory tables — see `models.galileo_e1`.
+    """
+    return GNSSSystem(
+        name="GALILEOE1C" if pilot else "GALILEOE1B",
+        codes=galileo_e1.code_table(pilot),
+        code_frequency=galileo_e1.CODE_FREQUENCY,
+        center_frequency=galileo_e1.CENTER_FREQUENCY,
+        code_length=galileo_e1.CODE_LENGTH,
+        secondary_code=(
+            galileo_e1.secondary_code() if pilot and with_secondary else None
+        ),
+    )
+
+
 # Name -> constructor registry (equivalent of the reference's GNSSDICT).
 GNSS_REGISTRY = {
     "GPSL1": GPSL1,
     "GPSL5": GPSL5,
     "GLONASSL1": GLONASSL1,
+    "GALILEOE1B": GalileoE1,
+    "GALILEOE1C": functools.partial(GalileoE1, pilot=True),
 }
 
 

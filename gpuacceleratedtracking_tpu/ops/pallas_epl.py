@@ -344,7 +344,10 @@ def correlate_pallas_fused(
     sre = _pad_to(signal_re, n_pad).reshape(num_ants, -1, LANES)
     sim = _pad_to(signal_im, n_pad).reshape(num_ants, -1, LANES)
 
-    rho = code_frequency / sampling_frequency
+    # precise_div: a traced f32 divide lowers to reciprocal-multiply (1-2 ulp
+    # off), which shifts exactly-on-sample chip boundaries — see
+    # ops.replica.precise_div.
+    rho = replica_ops.precise_div(code_frequency, sampling_frequency)
     params = jnp.array(
         [[
             carrier_frequency / sampling_frequency,
@@ -540,7 +543,7 @@ def correlate_pallas_bank_onehot(
     sre = _pad_to(signal_re, n_pad).reshape(num_ants, -1, LANES)
     sim = _pad_to(signal_im, n_pad).reshape(num_ants, -1, LANES)
 
-    rho = jnp.asarray(code_frequency, jnp.float32) / jnp.float32(sampling_frequency)
+    rho = replica_ops.precise_div(code_frequency, sampling_frequency)
     params = jnp.stack(
         [
             jnp.asarray(carrier_frequency, jnp.float32)
@@ -1133,7 +1136,7 @@ def correlate_pallas_bank(
     )
     base = jnp.asarray(base, jnp.float32)                        # [tiles, 2]
 
-    rho = jnp.asarray(code_frequency, jnp.float32) / jnp.float32(fs)
+    rho = replica_ops.precise_div(code_frequency, fs)
     params = jnp.stack(
         [
             jnp.asarray(carrier_frequency, jnp.float32) / jnp.float32(fs),
@@ -1734,7 +1737,7 @@ def correlate_pallas_bank_rows(
         jnp.float32,
     )                                                            # [tiles, 2]
 
-    rho = jnp.asarray(code_frequency, jnp.float32) / jnp.float32(fs)
+    rho = replica_ops.precise_div(code_frequency, fs)
     params = jnp.stack(
         [
             jnp.asarray(carrier_frequency, jnp.float32) / jnp.float32(fs),
@@ -2227,7 +2230,7 @@ def correlate_pallas_bank_comp(
         jnp.float32,
     )                                                     # [tiles, 2]
 
-    rho = jnp.asarray(code_frequency, jnp.float32) / jnp.float32(fs)
+    rho = replica_ops.precise_div(code_frequency, fs)
     f_cyc = (
         jnp.broadcast_to(
             jnp.asarray(carrier_frequency, jnp.float32), (num_k,)

@@ -18,8 +18,32 @@ replica (the reference's `num_samples + num_of_shifts` buffer,
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
+
+
+def precise_div(num, den):
+    """f32 ``num / den`` robust to XLA's reciprocal-multiply lowering.
+
+    XLA lowers an f32 divide by a RUNTIME operand to reciprocal-multiply on
+    CPU/TPU, off by 1-2 ulp even when the exact quotient is representable:
+    Galileo E1's chip rate ``2046000 / 8184000 = 0.25`` computes as
+    0.249999985 under jit — and with chip boundaries landing exactly on
+    sample boundaries, a 1-ulp-low rate shifts EVERY boundary one whole
+    sample late (eager mode divides in python f64 at trace time, hiding the
+    bug outside jit). With a static python-float denominator the reciprocal
+    splits into two f32 terms ``hi + lo`` (~2^-48 accurate), making
+    ``num*hi + num*lo`` correctly rounded for all practical magnitudes.
+    Traced denominators (rare) fall back to the plain divide.
+    """
+    if isinstance(den, (int, float, np.floating, np.integer)):
+        inv = 1.0 / float(den)
+        hi = np.float32(inv)
+        lo = np.float32(inv - float(hi))
+        num = jnp.asarray(num, jnp.float32)
+        return num * hi + num * lo
+    return jnp.asarray(num, jnp.float32) / jnp.asarray(den, jnp.float32)
 
 
 def code_phase_steps(code_frequency, sampling_frequency, num_samples: int):
@@ -28,7 +52,7 @@ def code_phase_steps(code_frequency, sampling_frequency, num_samples: int):
     Computes ``rho*n`` as ``rho*block_start + rho*offset`` with small offsets so
     f32 rounding stays below ~1e-4 chips even at N = 2**18.
     """
-    rho = jnp.float32(code_frequency / sampling_frequency)
+    rho = precise_div(code_frequency, sampling_frequency)
     n_hi = jnp.arange(0, num_samples, 128, dtype=jnp.float32)
     n_lo = jnp.arange(128, dtype=jnp.float32)
     # [num_rows, 128] -> flat [ceil(N/128)*128], truncated to N by caller's reshape
@@ -63,7 +87,7 @@ def gen_code_replica(
     # phase grid (origin 0) so prompt-tap chips are bit-identical to the
     # transmitted chips; the left halo n in [min_shift, 0) is tiny and computed
     # directly.
-    rho = jnp.float32(code_frequency / sampling_frequency)
+    rho = precise_div(code_frequency, sampling_frequency)
     phase_main = code_phase_steps(
         code_frequency, sampling_frequency, num_samples + max_shift
     ) + jnp.float32(start_code_phase)

@@ -92,17 +92,24 @@ class TrackConfig:
             preferred_code_shift,
         )
         # Auto-enable secondary-code wipe-off when the system has an overlay
-        # and the integration block equals one primary code period (the
-        # overlay flips sign exactly once per period).
+        # and the primary code period is an integer number of integration
+        # blocks: one overlay sign per period, repeated per block (m = 1 for
+        # L5 NH over 1 ms blocks; m = 4 for Galileo E1-C CS25 over its 4 ms
+        # primary period tracked with 1 ms blocks).
         if (
             use_secondary
             and system.secondary_code is not None
             and "secondary_code" not in kwargs
         ):
             period = system.code_length / system.code_frequency
-            if abs(num_samples / sampling_frequency - period) < 1e-9:
+            block = num_samples / sampling_frequency
+            m = period / block
+            if abs(m - round(m)) < 1e-6 and round(m) >= 1:
                 kwargs["secondary_code"] = tuple(
-                    float(s) for s in system.secondary_code
+                    float(s)
+                    for s in np.repeat(
+                        np.asarray(system.secondary_code), round(m)
+                    )
                 )
         return cls(
             code_frequency=system.code_frequency,

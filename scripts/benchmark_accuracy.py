@@ -165,13 +165,19 @@ def cell(system, gnss, num_samples):
     variants = {
         "fused_xla": lambda: per_chan(registry.get("fused_xla"), True),
         "pallas_fused": lambda: per_chan(registry.get("pallas_fused"), False),
-        "pallas_bank_bf16mm": lambda: bank(
-            pallas_epl.correlate_pallas_bank
-        ),
-        "pallas_bank_f32mm": lambda: bank(
-            pallas_epl.correlate_pallas_bank, matmul_dtype=jnp.float32
-        ),
     }
+    span = int(max(shifts)) - int(min(shifts))
+    if span < 128:
+        # The transition kernel keeps its span < 128 contract; static
+        # routing (bank_algorithm_for) never sends wide-span scenarios here
+        # (the rows/comp kernels carry them since round 5), so its variants
+        # are simply out of envelope, not errors.
+        variants["pallas_bank_bf16mm"] = lambda: bank(
+            pallas_epl.correlate_pallas_bank
+        )
+        variants["pallas_bank_f32mm"] = lambda: bank(
+            pallas_epl.correlate_pallas_bank, matmul_dtype=jnp.float32
+        )
     if chips_per_sample < 0.17:
         variants["pallas_bank_rows"] = lambda: bank(
             pallas_epl.correlate_pallas_bank_rows

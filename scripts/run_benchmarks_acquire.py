@@ -1,11 +1,12 @@
 #!/usr/bin/env python
-"""PCPS acquisition benchmark sweep (host CPU path).
+"""PCPS acquisition benchmark sweep.
 
-The one subsystem without timing evidence until round 4. Runs on the host
-CPU by design — the tunneled axon TPU plugin has no FFT lowering (RESULTS.md
-"Backend limitations"), and a receiver acquires once per satellite rise while
-tracking runs continuously. Sweep axes: block length N (=> Doppler-bin count
-via the 2/(3T) default grid), PRN-list size K, noncoherent rounds R.
+Default: host-CPU jnp.fft engine (the round-4 committed cells). With
+``--tpu``: ON-CHIP acquisition via the four-step matmul DFT
+(`acquire.dftmm` — round 5; the axon plugin has no FFT lowering, so the MXU
+carries the transforms), processor=TPU cells with distinct savenames.
+Sweep axes: block length N (=> Doppler-bin count via the 2/(3T) default
+grid), PRN-list size K, noncoherent rounds R.
 
 Role match: Acquisition.jl -> Tracking.jl handoff in the reference ecosystem
 (`/root/reference/src/benchmarks.jl:54`).
@@ -18,7 +19,9 @@ sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+TPU_MODE = "--tpu" in sys.argv
+if not TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
 
 from gpuacceleratedtracking_tpu.bench import run_acquire_benchmark, run_sweep
 
@@ -43,5 +46,8 @@ if __name__ == "__main__":
         pathlib.Path(__file__).parent.parent / "data" / "benchmarks"
         / "acquire"
     )
+    if TPU_MODE:
+        params = dict(params, processor="TPU")
+        l5_params = dict(l5_params, processor="TPU")
     run_sweep(params, run_acquire_benchmark, out, prefix="AcquireBenchmark")
     run_sweep(l5_params, run_acquire_benchmark, out, prefix="AcquireBenchmark")

@@ -98,6 +98,36 @@ dual_params_wide = {
     "trials": 7,
 }
 
+# Wide-span cells — the TOP of the reference envelope (L1 at 131/262 MHz,
+# `/root/reference/scripts/run_benchmarks_gpsl1.jl:8` N=2^17/2^18), where one
+# EPL chip spans >= 128 samples. Round 5's multi-row replica halo runs these
+# on the rows kernel (pre-r5: ValueError -> 100x-slower xla_bank fallback).
+wide_params = {
+    "GNSS": "GPSL1",
+    "num_samples": [131072, 262144],
+    "num_channels": [256, 1024],
+    "num_ants": 1,
+    "num_correlators": 3,
+    "algorithm": ["pallas_bank_auto"],
+    "processor": ["TPU"],
+    "blocks": 8,
+    "trials": 7,
+}
+
+# The pre-r5 fallback for the same cells, committed for the speedup claim.
+# Few blocks: xla_bank at these shapes runs ~0.1-0.5 s per BLOCK.
+wide_fallback_params = {
+    "GNSS": "GPSL1",
+    "num_samples": [131072, 262144],
+    "num_channels": [256, 1024],
+    "num_ants": 1,
+    "num_correlators": 3,
+    "algorithm": ["xla_bank"],
+    "processor": ["TPU"],
+    "blocks": 2,
+    "trials": 5,
+}
+
 if __name__ == "__main__":
     out = pathlib.Path(__file__).parent.parent / "data" / "benchmarks" / "track"
     run_sweep(params, run_track_benchmark, out, prefix="TrackBenchmark")
@@ -109,4 +139,9 @@ if __name__ == "__main__":
     run_sweep(
         dual_params_wide, run_dual_track_benchmark, out,
         prefix="DualTrackBenchmark",
+    )
+    run_sweep(wide_params, run_track_benchmark, out, prefix="TrackBenchmark")
+    run_sweep(
+        wide_fallback_params, run_track_benchmark, out,
+        prefix="TrackBenchmark",
     )
