@@ -1,0 +1,18 @@
+#!/bin/bash
+# Round-5 TPU batch #2 (run HOURS after batch #1 for cross-session spacing):
+# spread session #2, Galileo E1-C cells, kernel-sweep leftovers.
+export PYTHONPATH=/root/repo:/root/.axon_site
+cd /root/repo
+mkdir -p /tmp/r5logs
+run() {
+  name=$1; shift
+  echo "=== $name start $(date +%T) ==="
+  timeout "$T" "$@" > /tmp/r5logs/$name.log 2>&1
+  echo "=== $name exit $? $(date +%T) ==="
+}
+T=1800 run spread2        python scripts/exp_session_spread.py
+T=2400 run tune_galileo   python scripts/autotune_galileo.py
+T=3600 run track_galileo  python scripts/run_benchmarks_track.py
+T=3600 run kernel_resume  python scripts/run_benchmarks_gpsl1.py
+T=2400 run noisy_track2   python scripts/rerun_noisy_track.py
+echo "=== BATCH2 DONE $(date +%T) ==="

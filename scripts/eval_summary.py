@@ -193,12 +193,14 @@ def acquire_table():
     rows = _load("acquire") if (ROOT / "acquire").exists() else []
     if not rows:
         return
-    print("\n### PCPS acquisition (host CPU path — the tunneled TPU backend "
-          "has no FFT lowering; median±IQR ms per full acquisition call)\n")
-    print("| GNSS | N | K PRNs | rounds | Doppler bins | ms/call "
+    print("\n### PCPS acquisition (CPU = host jnp.fft engine; TPU = on-chip "
+          "four-step matmul DFT, `acquire/dftmm.py`; median±IQR ms per full "
+          "acquisition call)\n")
+    print("| proc | GNSS | N | K PRNs | rounds | Doppler bins | ms/call "
           "| ms/PRN·round |")
-    print("|---|---|---|---|---|---|---|")
-    for r in sorted(rows, key=lambda r: (r["GNSS"], r["num_samples"],
+    print("|---|---|---|---|---|---|---|---|")
+    for r in sorted(rows, key=lambda r: (r.get("processor", "CPU"),
+                                         r["GNSS"], r["num_samples"],
                                          r["num_prns"], r["rounds"])):
         iqr = _iqr(r)
         ms = f"{r['Median']*1e3:.2f}"
@@ -207,9 +209,35 @@ def acquire_table():
             if r['Median'] > 0 and iqr >= r['Median']:
                 ms += "\\*"
         per = r["Median"] * 1e3 / (r["num_prns"] * r["rounds"])
-        print(f"| {r['GNSS']} | {r['num_samples']} | {r['num_prns']} "
+        print(f"| {r.get('processor', 'CPU')} | {r['GNSS']} "
+              f"| {r['num_samples']} | {r['num_prns']} "
               f"| {r['rounds']} | {r['num_bins']} | {ms} "
               f"| {per:.3f} |")
+
+
+def session_spread_table():
+    path = ROOT / "session_spread.json"
+    if not path.exists():
+        return
+    sessions = json.loads(path.read_text())
+    if not sessions:
+        return
+    cells = {}
+    for s_ in sessions:
+        for name, c in s_["cells"].items():
+            cells.setdefault(name, []).append(c["median_s"])
+    print("\n### Cross-session dispersion of the chip-count headline cells "
+          f"({len(sessions)} sessions; per-session medians, ms/block — "
+          "chip counts quoted from the WORST session)\n")
+    print("| cell | sessions (ms) | min | median | max |")
+    print("|---|---|---|---|---|")
+    import statistics
+
+    for name, meds in cells.items():
+        ms = [m * 1e3 for m in meds]
+        print(f"| {name} | " + ", ".join(f"{m:.2f}" for m in ms)
+              + f" | {min(ms):.2f} | {statistics.median(ms):.2f} "
+              f"| {max(ms):.2f} |")
 
 
 def micro_tables():
@@ -273,4 +301,5 @@ if __name__ == "__main__":
     mixed_track_table()
     accuracy_table()
     acquire_table()
+    session_spread_table()
     micro_tables()

@@ -67,6 +67,21 @@ glonass_params = {
     "trials": 7,
 }
 
+# Galileo E1-C BOC(1,1) closed loop (fourth constellation family): the
+# subcarrier meander doubles the replica transition density, and the CS25
+# overlay wipe-off (4 ms primary period over 1 ms blocks) rides the timed
+# path. 32.768 MHz -> 0.0625 half-chips/sample: rows-kernel regime.
+galileo_params = {
+    "GNSS": "GALILEOE1C",
+    "num_samples": 32768,
+    "num_channels": [64, 256],
+    "num_correlators": 3,
+    "algorithm": ["pallas_bank_auto"],
+    "processor": ["TPU"],
+    "blocks": 8,
+    "trials": 7,
+}
+
 # GPS L5 dual-component closed loop (the north-star L5 leg): K dual
 # channels = 2K-channel bank per launch, NH10/NH20 wipe-off + pilot atan2
 # closure in the timed path. The reference's L5 never closes a loop on GPU
@@ -133,6 +148,7 @@ if __name__ == "__main__":
     run_sweep(params, run_track_benchmark, out, prefix="TrackBenchmark")
     run_sweep(m4_params, run_track_benchmark, out, prefix="TrackBenchmark")
     run_sweep(glonass_params, run_track_benchmark, out, prefix="TrackBenchmark")
+    run_sweep(galileo_params, run_track_benchmark, out, prefix="TrackBenchmark")
     run_sweep(
         dual_params, run_dual_track_benchmark, out, prefix="DualTrackBenchmark"
     )

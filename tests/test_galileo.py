@@ -175,6 +175,34 @@ class TestCorrelation:
         np.testing.assert_allclose(got[1], want[1], rtol=2e-3, atol=9.0)
 
 
+class TestAcquisition:
+    def test_pcps_finds_e1_satellites(self):
+        # PCPS over one FULL 4 ms primary period (the E1 acquisition block:
+        # circular correlation needs an integer number of code periods —
+        # exactly one here). Code phase estimates come back in half-chips.
+        from gpuacceleratedtracking_tpu.acquire import acquire
+        from gpuacceleratedtracking_tpu.models import gen_signal_mixed
+
+        system = GalileoE1()
+        prns = np.array([3, 17])
+        dops = np.array([900.0, -2100.0])
+        phases = np.array([1200.5, 5000.25])    # half-chips
+        N = 16368                                # 4 ms at 4.092 MHz
+        sig, fs = gen_signal_mixed(
+            system, prns, dops, N, duration=4e-3,
+            start_code_phases=phases,
+        )
+        sre, sim = soa(sig)
+        res = acquire(system, sre, sim, prns, fs, max_doppler=3000.0)
+        got_dop = np.asarray(res.carrier_doppler)
+        # 4 ms coherent block -> 167 Hz doppler bins: within one bin.
+        assert np.all(np.abs(got_dop - dops) < 100.0), got_dop
+        err = np.abs(np.asarray(res.code_phase) - phases)
+        err = np.minimum(err, system.code_length - err)
+        assert np.all(err < 0.6), res.code_phase   # within one sample
+        assert np.all(np.asarray(res.peak_metric) > 10.0)
+
+
 class TestClosedLoop:
     def test_pilot_tracks_with_cs25_overlay(self):
         # E1-C closed loop: CS25 overlay wipe-off across the 4 ms primary
