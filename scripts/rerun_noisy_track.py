@@ -36,7 +36,10 @@ def main():
         if "error" in d or d.get("processor") != "TPU":
             continue
         i = iqr(d.get("times") or [])
-        if i is not None and d["Median"] > 0 and i >= d["Median"]:
+        # Noise-dominated: IQR >= median, or a zero/clamped median outright
+        # (a 0.0 median means every differential pair clamped to the floor —
+        # the worst case, not a healthy one).
+        if i is not None and (d["Median"] <= 0 or i >= d["Median"]):
             todo.append((p, d))
     print(f"{len(todo)} noisy track cells")
     for idx, (p, d) in enumerate(todo):

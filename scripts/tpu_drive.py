@@ -100,4 +100,48 @@ assert np.all(np.abs(got - dops5) < 400.0), got
 assert np.all(np.asarray(res5.peak_metric) > 10.0)
 print("acquisition OK: doppler", got, "metric",
       np.round(np.asarray(res5.peak_metric), 1))
+
+# 6. Round-5 legs: wide-span rows kernel (131.072 MHz, tap span 128) and
+# Galileo E1 BOC(1,1) — both golden-prompt exact on chip.
+N6 = 131072
+fs6 = N6 / 1e-3
+sig6, _ = gt.models.gen_signal(system, 0, 1500.0, N6)
+shifts6 = tuple(int(s) for s in gt.models.correlator_sample_shifts(
+    system, gt.models.EPLCorrelator(3), fs6))
+assert max(shifts6) - min(shifts6) >= 128
+wide = jax.jit(functools.partial(
+    gt.ops.registry.get("pallas_bank_auto"), sample_shifts=shifts6,
+    code_length=system.code_length, sampling_frequency=fs6,
+    nominal_code_frequency=system.code_frequency))
+k6 = 2
+w_re, _ = wide(*gt.models.soa(sig6), jnp.asarray(system.codes),
+               jnp.zeros(k6, jnp.int32), jnp.full(k6, 1500.0),
+               carrier_phase=jnp.zeros(k6),
+               code_frequency=jnp.full(k6, system.code_frequency),
+               code_phase=jnp.zeros(k6))
+w_re = np.asarray(w_re)
+assert np.allclose(w_re[:, 1], N6, atol=2.0), w_re
+print("wide-span rows kernel OK: prompt =", w_re[0, 1])
+
+e1 = gt.models.GalileoE1(pilot=True)
+N7 = 32768
+fs7 = N7 / 1e-3
+sig7, _ = gt.models.gen_signal(e1, 0, 1000.0, N7)
+shifts7 = tuple(int(s) for s in gt.models.correlator_sample_shifts(
+    e1, gt.models.EPLCorrelator(3), fs7))
+boc = jax.jit(functools.partial(
+    gt.ops.registry.get("pallas_bank_auto"), sample_shifts=shifts7,
+    code_length=e1.code_length, sampling_frequency=fs7,
+    nominal_code_frequency=e1.code_frequency))
+g_re, _ = boc(*gt.models.soa(sig7), jnp.asarray(e1.codes),
+              jnp.zeros(2, jnp.int32), jnp.full(2, 1000.0),
+              carrier_phase=jnp.zeros(2),
+              code_frequency=jnp.full(2, e1.code_frequency),
+              code_phase=jnp.zeros(2))
+g_re = np.asarray(g_re)
+# BOC doubles the transition count, so a couple of f32 chip-boundary flips
+# (+/-2 each) between the signal's and the kernel's phase grids are inside
+# the documented envelope at this non-commensurate rate.
+assert np.allclose(g_re[:, 1], N7, atol=12.0), g_re
+print("Galileo E1 BOC(1,1) rows kernel OK: prompt =", g_re[0, 1])
 print("VERIFY DRIVE OK")
