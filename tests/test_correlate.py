@@ -279,3 +279,31 @@ class TestDownconvertOnly:
         # identical per antenna (reference generates identical antenna copies)
         np.testing.assert_allclose(np.asarray(dw_re[0]), np.asarray(dw_re[3]))
         np.testing.assert_allclose(np.asarray(dw_im), 0.0, atol=5e-4)
+
+
+def test_precise_div_exact_under_jit():
+    # XLA lowers a traced f32 divide to reciprocal-multiply (1-2 ulp off):
+    # rho = 2046000/8184000 must be EXACTLY 0.25 under jit, or every
+    # exactly-on-sample chip boundary shifts a whole sample (the Galileo E1
+    # grid bug, round 5). precise_div guarantees correct rounding for
+    # static denominators.
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpuacceleratedtracking_tpu.ops.replica import precise_div
+
+    def naive(x):
+        return x / 8184000.0
+
+    def precise(x):
+        return precise_div(x, 8184000.0)
+
+    x = jnp.float32(2046000.0)
+    assert float(jax.jit(precise)(x)) == 0.25
+    # Document the underlying hazard: if the naive jit path ever becomes
+    # exact on this backend too, the helper is still correct (no-op).
+    for num, den, want in [(1023000.0, 2046000.0, 0.5),
+                           (2046000.0, 32768000.0, 2046.0 / 32768.0)]:
+        got = float(jax.jit(lambda v: precise_div(v, den))(jnp.float32(num)))
+        np.testing.assert_allclose(got, np.float32(want), rtol=0, atol=0)
