@@ -358,12 +358,42 @@ class TestBankKernel:
                                    want, rtol=1e-5, atol=1e-2)
 
     def test_wide_span_raises(self):
+        # The transition kernel keeps its span < 128 contract (static routing
+        # never selects it there — the rows/comp kernels carry wide spans).
         system = GPSL1()
         signal, fs = gen_signal(system, 0, 1500.0, 131072)
         sre, sim = soa(signal)
         shifts = correlator_sample_shifts(system, EPLCorrelator(7), fs)
         with pytest.raises(ValueError):
             self._bank(system, sre, sim, fs, shifts, [0], [0.0])
+
+    def test_onehot_wide_span(self):
+        # The one-hot bank variant accepts any span (multi-row halo).
+        from gpuacceleratedtracking_tpu.ops.pallas_epl import (
+            correlate_pallas_bank_onehot,
+        )
+
+        system = GPSL1()
+        N, K = 4096, 2
+        fs = N / 1e-3
+        signal, _ = gen_signal(system, 0, 1500.0, N)
+        sre, sim = soa(signal)
+        shifts = (-160, 0, 170)
+        fn = jax.jit(functools.partial(
+            correlate_pallas_bank_onehot, sample_shifts=shifts,
+            code_length=system.code_length, tile_rows=8,
+            sampling_frequency=fs,
+        ))
+        are, aim = fn(
+            sre, sim, jnp.asarray(system.codes),
+            jnp.zeros(K, jnp.int32), jnp.full(K, 1500.0),
+            carrier_phase=jnp.zeros(K),
+            code_frequency=jnp.full(K, system.code_frequency),
+            code_phase=jnp.zeros(K),
+        )
+        want = run("fused_xla", system, signal, fs, shifts)
+        got = np.asarray(are)[0] + 1j * np.asarray(aim)[0]
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=0.3)
 
 
 class TestBankRowsKernel:
