@@ -95,15 +95,19 @@ if __name__ == "__main__":
     )
     codes = jnp.asarray(system.codes)
     if ALGO in registry.BANK_ALGORITHMS:
+        extra = {}
+        if ALGO.startswith("pallas_bank") and ALGO != "pallas_bank_onehot":
+            from gpuacceleratedtracking_tpu.bench.autotune import best_launch
+
+            extra["nominal_code_frequency"] = system.code_frequency
+            # Launch shape from the autotune cache — profiling the default
+            # shape traces a kernel nothing else reports (the r5 default at
+            # N=2^18 is ~2x the tuned 512x32).
+            extra.update(best_launch(ALGO, K, N, 1, len(shifts), "GPSL1"))
         corr = functools.partial(
             registry.get(ALGO), sample_shifts=shifts,
             code_length=system.code_length, sampling_frequency=fs,
-            **(
-                {"nominal_code_frequency": system.code_frequency}
-                if ALGO.startswith("pallas_bank")
-                and ALGO != "pallas_bank_onehot"
-                else {}
-            ),
+            **extra,
         )
         kk = jnp.arange(K, dtype=jnp.int32) % codes.shape[1]
         dops = jnp.linspace(-4000.0, 4000.0, K).astype(jnp.float32)
