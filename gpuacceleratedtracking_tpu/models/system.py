@@ -15,7 +15,7 @@ import functools
 
 import numpy as np
 
-from . import galileo_e1, glonass_l1, gpsl1, gpsl5
+from . import beidou_b1i, galileo_e1, glonass_l1, gpsl1, gpsl5
 
 
 @dataclasses.dataclass(frozen=True)
@@ -112,6 +112,26 @@ def GalileoE1(pilot: bool = False, with_secondary: bool = True) -> GNSSSystem:
     )
 
 
+@functools.lru_cache(maxsize=None)
+def BeiDouB1I(with_secondary: bool = True) -> GNSSSystem:
+    """BeiDou B1I (5th family): 2046-chip register-generated codes, 1 ms period.
+
+    Exactly GPS L1's block cadence at double the chip rate (2.046 Mcps).
+    D1 satellites (PRN >= 6) carry the NH20 overlay — the same published
+    sequence as GPS L5's Q5 pilot — wired through the standard
+    secondary-sync/wipe-off path; pass ``with_secondary=False`` for the
+    GEO (D2, PRN 1..5) satellites, which have no overlay.
+    """
+    return GNSSSystem(
+        name="BEIDOUB1I",
+        codes=beidou_b1i.code_table(),
+        code_frequency=beidou_b1i.CODE_FREQUENCY,
+        center_frequency=beidou_b1i.CENTER_FREQUENCY,
+        code_length=beidou_b1i.CODE_LENGTH,
+        secondary_code=beidou_b1i.secondary_code() if with_secondary else None,
+    )
+
+
 # Name -> constructor registry (equivalent of the reference's GNSSDICT).
 GNSS_REGISTRY = {
     "GPSL1": GPSL1,
@@ -119,6 +139,7 @@ GNSS_REGISTRY = {
     "GLONASSL1": GLONASSL1,
     "GALILEOE1B": GalileoE1,
     "GALILEOE1C": functools.partial(GalileoE1, pilot=True),
+    "BEIDOUB1I": BeiDouB1I,
 }
 
 
