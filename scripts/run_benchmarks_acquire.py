@@ -41,6 +41,16 @@ l5_params = {
     "trials": 7,
 }
 
+# BeiDou B1I (fifth family): same 1 ms code period as GPS L1 at double the
+# chip rate — the PCPS shape is identical, so one N covers the family.
+beidou_params = {
+    "GNSS": "BEIDOUB1I",
+    "num_samples": [8192],
+    "num_prns": [8, 32],
+    "rounds": [1, 6],
+    "trials": 7,
+}
+
 if __name__ == "__main__":
     out = (
         pathlib.Path(__file__).parent.parent / "data" / "benchmarks"
@@ -49,5 +59,9 @@ if __name__ == "__main__":
     if TPU_MODE:
         params = dict(params, processor="TPU")
         l5_params = dict(l5_params, processor="TPU")
+        beidou_params = dict(beidou_params, processor="TPU")
     run_sweep(params, run_acquire_benchmark, out, prefix="AcquireBenchmark")
     run_sweep(l5_params, run_acquire_benchmark, out, prefix="AcquireBenchmark")
+    run_sweep(
+        beidou_params, run_acquire_benchmark, out, prefix="AcquireBenchmark"
+    )

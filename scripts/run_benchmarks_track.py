@@ -82,6 +82,21 @@ galileo_params = {
     "trials": 7,
 }
 
+# BeiDou B1I closed loop (fifth constellation family; the first fully
+# register-generated family beyond GPS): 2046 chips/ms = exactly double GPS
+# L1's transition density at the same 1 ms cadence, NH20 D1 overlay wipe-off
+# in the timed path. 32.768 MHz -> 16 samples/chip: rows-kernel regime.
+beidou_params = {
+    "GNSS": "BEIDOUB1I",
+    "num_samples": 32768,
+    "num_channels": [64, 256],
+    "num_correlators": 3,
+    "algorithm": ["pallas_bank_auto"],
+    "processor": ["TPU"],
+    "blocks": 8,
+    "trials": 7,
+}
+
 # GPS L5 dual-component closed loop (the north-star L5 leg): K dual
 # channels = 2K-channel bank per launch, NH10/NH20 wipe-off + pilot atan2
 # closure in the timed path. The reference's L5 never closes a loop on GPU
@@ -149,6 +164,7 @@ if __name__ == "__main__":
     run_sweep(m4_params, run_track_benchmark, out, prefix="TrackBenchmark")
     run_sweep(glonass_params, run_track_benchmark, out, prefix="TrackBenchmark")
     run_sweep(galileo_params, run_track_benchmark, out, prefix="TrackBenchmark")
+    run_sweep(beidou_params, run_track_benchmark, out, prefix="TrackBenchmark")
     run_sweep(
         dual_params, run_dual_track_benchmark, out, prefix="DualTrackBenchmark"
     )
