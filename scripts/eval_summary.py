@@ -153,6 +153,29 @@ def mixed_track_table():
               f"| {r.get('chips_for_realtime_linear_est', r.get('chips_for_realtime'))} |")
 
 
+def multignss_table():
+    rows = [r for r in _load("track") if r.get("GNSS") == "MULTIGNSS5"]
+    if not rows:
+        return
+    print("\n### Five-constellation closed loop on ONE chip "
+          "(all banks every block; median±IQR ms/block)\n")
+    print("| L1 | GLO | E1-C | B1I | L5 dual | total | ms/block | rt ratio "
+          "| chips for real time (linear est.) |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    for r in sorted(rows, key=lambda r: r["total_channels"]):
+        iqr = _iqr(r)
+        ms = f"{r['Median']*1e3:.2f}"
+        if iqr is not None:
+            ms += f"±{iqr*1e3:.2f}"
+            if r['Median'] > 0 and iqr >= r['Median']:
+                ms += "\\*"
+        c = r["channels"]
+        print(f"| {c['GPSL1']} | {c['GLONASSL1']} | {c['GALILEOE1C']} "
+              f"| {c['BEIDOUB1I']} | {c['GPSL5_dual']} "
+              f"| {r['total_channels']} | {ms} | {r['realtime_ratio']:.2f} "
+              f"| {r['chips_for_realtime_linear_est']} |")
+
+
 def accuracy_table():
     path = ROOT / "accumulator_accuracy.json"
     if not path.exists():
@@ -299,6 +322,7 @@ if __name__ == "__main__":
     track_table()
     dual_track_table()
     mixed_track_table()
+    multignss_table()
     accuracy_table()
     acquire_table()
     session_spread_table()
