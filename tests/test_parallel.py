@@ -19,6 +19,7 @@ from gpuacceleratedtracking_tpu.models import (
     EPLCorrelator,
     correlator_sample_shifts,
     gen_signal,
+    get_system,
     soa,
 )
 from gpuacceleratedtracking_tpu.ops import registry
@@ -159,6 +160,56 @@ class TestTrackBankSharded:
         np.testing.assert_allclose(
             np.asarray(out_s.carrier_doppler), np.asarray(out_u.carrier_doppler),
             rtol=1e-4, atol=0.5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_s.prompt_re), np.asarray(out_u.prompt_re),
+            rtol=5e-3, atol=10.0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(final_s.code_phase), np.asarray(final_u.code_phase),
+            rtol=1e-5, atol=1e-3,
+        )
+
+    @pytest.mark.parametrize("gnss,N", [
+        ("GLONASSL1", 2048),       # 511-chip m-sequence, FDMA family
+        ("GALILEOE1C", 8192),      # BOC(1,1) half-chip meander
+        ("BEIDOUB1I", 8192),       # 2046-chip register codes (5th family)
+    ])
+    def test_all_families_shard(self, gnss, N):
+        # Every constellation family must ride the channel mesh unchanged:
+        # sharded-vs-unsharded parity of the closed loop per family (the
+        # multichip path is family-agnostic by construction — this pins it).
+        system = get_system(gnss)
+        num_k, num_ms = 4, 30
+        fs = N / 1e-3
+        dops = np.linspace(-2000.0, 2000.0, num_k)
+        sigs = []
+        for prn, d in enumerate(dops):
+            scale = 1.0 + d / system.center_frequency
+            s, _ = gen_signal(
+                system, prn, d, N * num_ms, duration=num_ms * 1e-3,
+                code_frequency=system.code_frequency * scale,
+                start_code_phase=37.0 * prn,
+            )
+            sigs.append(s)
+        mixed = sum(sigs[1:], sigs[0])
+        sre, sim = (np.asarray(x).reshape(num_ms, N) for x in soa(mixed))
+        config = TrackConfig.for_system(system, fs, N, use_secondary=False)
+        states = init_state(
+            np.arange(num_k), carrier_doppler=dops,
+            code_phase=37.0 * np.arange(num_k) % system.code_length,
+        )
+        mesh = channel_time_mesh(num_chan_shards=4, num_time_shards=2)
+        sre, sim = jnp.asarray(sre), jnp.asarray(sim)
+        final_s, out_s = track_bank_sharded(
+            config, jnp.asarray(system.codes), states, sre, sim, mesh=mesh
+        )
+        final_u, out_u = track_bank(
+            config, jnp.asarray(system.codes), states, sre, sim
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_s.carrier_doppler),
+            np.asarray(out_u.carrier_doppler), rtol=1e-4, atol=0.5,
         )
         np.testing.assert_allclose(
             np.asarray(out_s.prompt_re), np.asarray(out_u.prompt_re),
