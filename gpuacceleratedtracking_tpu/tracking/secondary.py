@@ -47,3 +47,50 @@ def detect_secondary_offset(
     best = jnp.max(jnp.abs(corr), axis=0)
     confidence = jnp.where(norm > 0, best / norm, 0.0)
     return offset, confidence
+
+
+def detect_secondary_offset_windowed(
+    prompt_re: jax.Array,
+    secondary_code,
+) -> tuple[jax.Array, jax.Array]:
+    """Data-robust overlay sync for signals with nav bits but no pilot.
+
+    `detect_secondary_offset` correlates over the whole window, so a nav-bit
+    sign flip inside the window (e.g. BeiDou B1I D1: one 50 bps bit per NH20
+    cycle; there is no dataless pilot like L5's Q5) decorrelates it. When
+    bit edges are aligned to overlay-cycle boundaries (the D1 structure per
+    the BDS ICD), at least one of the ``S`` single-cycle window phases is
+    bit-clean: correlate each phase's length-``S`` window independently and
+    take, per channel, the phase with the highest confidence.
+
+    Args:
+      prompt_re: ``[B]`` or ``[B, K]`` prompts from consecutive locked
+        blocks, ``B >= 2 S - 1`` so every window phase has a full window.
+      secondary_code: ``[S]`` +/-1 overlay signs.
+
+    Returns:
+      (offset, confidence) with the same convention as
+      `detect_secondary_offset`: block ``b`` (index into ``prompt_re``)
+      carries sign ``secondary_code[(b + offset) % S]``.
+    """
+    sc = jnp.asarray(secondary_code, jnp.float32)
+    s = sc.shape[0]
+    p = jnp.asarray(prompt_re, jnp.float32)
+    if p.shape[0] < 2 * s - 1:
+        raise ValueError(
+            f"need >= {2 * s - 1} blocks for S={s} window phases, got "
+            f"{p.shape[0]}"
+        )
+    windows = jnp.stack([p[w: w + s] for w in range(s)])     # [S, S, ...]
+    offs, confs = jax.vmap(
+        lambda win: detect_secondary_offset(win, sc)
+    )(windows)                                               # [S, ...] each
+    # Window phase w sees local offset o_w; globally sign(b) =
+    # sc[(b - w + o_w) % S].
+    offs = (offs - jnp.arange(s).reshape((s,) + (1,) * (offs.ndim - 1))) % s
+    best_w = jnp.argmax(confs, axis=0)                       # per channel
+    offset = jnp.take_along_axis(
+        offs, best_w[None], axis=0
+    )[0].astype(jnp.int32)
+    confidence = jnp.take_along_axis(confs, best_w[None], axis=0)[0]
+    return offset, confidence

@@ -20,7 +20,10 @@ observables, with no prior knowledge injected beyond the PRN search list:
   5. L5: pilot-only pull-in -> `tracking.secondary.detect_secondary_offset`
      (NH20 sync) -> dual-component (pilot-driven) track + nav-symbol
      demodulation;
-  6. write `data/coldstart/observables.json` + `img/coldstart_pipeline.png`.
+  6. B1I (BeiDou D1, no pilot to lean on): Costas pull-in -> data-robust
+     NH20 sync (best-of-20 bit-aligned windows — D1 aligns nav-bit edges to
+     NH cycles) -> NH-wiped track + 50 bps nav-bit demodulation;
+  7. write `data/coldstart/observables.json` + `img/coldstart_pipeline.png`.
 
 Run on the default (TPU) backend; pass --cpu to force the CPU backend.
 """
@@ -56,12 +59,15 @@ import jax.numpy as jnp
 _CPU = jax.local_devices(backend="cpu")[0]
 
 from gpuacceleratedtracking_tpu.acquire import acquire, to_track_states
-from gpuacceleratedtracking_tpu.models import GPSL1, GPSL5, gen_signal
+from gpuacceleratedtracking_tpu.models import (
+    BeiDouB1I, GPSL1, GPSL5, gen_signal,
+)
 from gpuacceleratedtracking_tpu.runtime import IQFile, StreamTracker, blocks
 from gpuacceleratedtracking_tpu.runtime import iq as iq_mod
 from gpuacceleratedtracking_tpu.tracking import (
     TrackConfig,
     detect_secondary_offset,
+    detect_secondary_offset_windowed,
     dual_config,
     init_state,
     track_bank,
@@ -84,6 +90,17 @@ L5 = dict(
     nh_phase=[3, 7],     # planted NH overlay offsets (blocks)
     sigma=22.8,          # ~45 dB-Hz per component at 32.768 MHz
     scale=1.8,
+)
+# BeiDou B1I D1 (MEO/IGSO): primary x NH20 x 50 bps nav, bit edges aligned
+# with the NH20 cycle per the ICD — the hard case for secondary sync, since
+# there is no dataless pilot to lean on (unlike L5's Q5).
+B1I = dict(
+    fs=8.192e6, n=8192, ms=400, prns=[8, 25],
+    dops=[-1800.0, 950.0],
+    phases=[333.4, 1402.1],
+    nh_phase=[5, 12],
+    sigma=11.4,          # ~45 dB-Hz per satellite at 8.192 MHz
+    scale=3.7,
 )
 
 
@@ -132,6 +149,33 @@ def synthesize_l5(path: pathlib.Path) -> None:
         s = np.asarray(s_i) + np.asarray(s_q)
         total = s if total is None else total + s
     _write_int8(path, total, L5["sigma"], L5["scale"], seed=56)
+    ctx.__exit__(None, None, None)
+
+
+def synthesize_b1i(path: pathlib.Path) -> None:
+    system = BeiDouB1I(with_secondary=False)
+    nh20 = np.asarray(BeiDouB1I().secondary_code, np.float32)
+    ctx = jax.default_device(_CPU)
+    ctx.__enter__()
+    rng = np.random.default_rng(77)
+    total = None
+    for prn, dop, phi, nh0 in zip(
+        B1I["prns"], B1I["dops"], B1I["phases"], B1I["nh_phase"]
+    ):
+        scale = 1.0 + dop / system.center_frequency
+        # D1 structure: one 20 ms nav bit per NH20 cycle, bit edges ON the
+        # cycle boundary (ICD) — block p carries NH20[(p+nh0)%20] * bit.
+        bits = rng.choice([-1.0, 1.0], B1I["ms"] // 20 + 2)
+        overlay = (nh20[(np.arange(B1I["ms"]) + nh0) % 20]
+                   * bits[(np.arange(B1I["ms"]) + nh0) // 20])
+        s, _ = gen_signal(
+            system, prn, dop, B1I["n"] * B1I["ms"],
+            duration=B1I["ms"] * 1e-3, start_code_phase=phi,
+            code_frequency=system.code_frequency * scale,
+            secondary_code=overlay,
+        )
+        total = s if total is None else total + s
+    _write_int8(path, np.asarray(total), B1I["sigma"], B1I["scale"], seed=78)
     ctx.__exit__(None, None, None)
 
 
@@ -411,13 +455,142 @@ def run_l5(capture: pathlib.Path, report: dict) -> dict:
             "data_prompt": d}
 
 
-def make_figure(l1, l5):
+def run_b1i(capture: pathlib.Path, report: dict) -> dict:
+    system = BeiDouB1I(with_secondary=False)
+    sys_nh = BeiDouB1I()
+    scale = 1.0 / B1I["scale"]
+    # NH20 flips the 1 ms blocks' signs; 16 NONcoherent rounds are immune
+    # to them (same trick as the L5 pilot leg's 50 Hz grid).
+    res, hits = acquire_band(system, capture, B1I["n"], B1I["fs"], rounds=16,
+                             doppler_step=50.0)
+    report["b1i_acquisition"] = {
+        "engine": _acq_engine(),
+        "searched_prns": int(system.codes.shape[1]),
+        "accepted": [
+            {
+                "prn": int(p),
+                "doppler_hz": float(np.asarray(res.carrier_doppler)[p]),
+                "metric": float(np.asarray(res.peak_metric)[p]),
+            }
+            for p in hits
+        ],
+        "planted": [
+            {"prn": p, "doppler_hz": d}
+            for p, d in zip(B1I["prns"], B1I["dops"])
+        ],
+    }
+    assert sorted(int(p) for p in hits) == sorted(B1I["prns"]), hits
+
+    sub = jax.tree.map(lambda x: np.asarray(x)[hits], res)
+    states = to_track_states(sub)
+    # Stage 1 — Costas pull-in, overlay-agnostic (NH20 x nav sign flips are
+    # invisible to the dot/atan discriminators).
+    sync_blocks = 180
+    cfg_sync = TrackConfig.for_system(
+        system, B1I["fs"], B1I["n"], algorithm="pallas_bank",
+        use_secondary=False, chans_per_step=2,
+    )
+    st1, out1, _ = _track_chunked(
+        lambda st, a, b: track_bank(
+            cfg_sync, jnp.asarray(system.codes), st, a, b
+        ),
+        states, capture, B1I["n"], sync_blocks, 0, scale,
+    )
+    # Stage 2 — NH20 sync WITHOUT a pilot: nav bits flip whole NH cycles,
+    # so a window straddling a bit edge decorrelates. D1 aligns bit edges
+    # to NH cycle boundaries (ICD), so among 20 window phases at least one
+    # is bit-clean — `detect_secondary_offset_windowed` takes, per channel,
+    # the phase with max confidence.
+    settle = 120
+    P = np.asarray(out1.prompt_re)        # [B, K]
+    sc = np.asarray(sys_nh.secondary_code, np.float32)
+    off, conf = detect_secondary_offset_windowed(
+        jnp.asarray(P[settle:]), sc
+    )
+    best_off = (np.asarray(off) - settle) % 20
+    best_conf = np.asarray(conf)
+    # Fixed N-sample tracker blocks vs the code period: a channel whose code
+    # phase sits PAST half a period has its NH boundary mid-block, so the
+    # block-dominant overlay sign is the NEXT period's — the correct wipe-off
+    # offset is then nh0+1 (and that channel pays an amplitude haircut on
+    # blocks where adjacent overlay signs differ; visible as a few dB of
+    # C/N0). Real effect of block-aligned (vs code-rollover-aligned)
+    # integration; encoded explicitly:
+    planted_off = [o for _, o in sorted(zip(B1I["prns"], B1I["nh_phase"]))]
+    phases_sorted = [p for _, p in sorted(zip(B1I["prns"], B1I["phases"]))]
+    expected_off = [
+        (o + (1 if ph > system.code_length / 2 else 0)) % 20
+        for o, ph in zip(planted_off, phases_sorted)
+    ]
+    report["b1i_secondary_sync"] = {
+        "nh20_offset_blocks": [int(o) for o in best_off],
+        "planted_offset": planted_off,
+        "expected_offset_block_dominant": expected_off,
+        "confidence": [float(c) for c in best_conf],
+    }
+    assert [int(o) for o in best_off] == expected_off, (
+        best_off, expected_off)
+    assert np.all(best_conf > 0.75), (
+        f"NH20 sync not confident: {best_conf}"
+    )
+    # Stage 3 — NH-wiped track of the rest; residual prompt sign IS the
+    # 50 bps nav bit (one per NH cycle).
+    st2_init = st1._replace(
+        ms_elapsed=jnp.asarray(sync_blocks + best_off, jnp.int32)
+    )
+    cfg_track = TrackConfig.for_system(
+        sys_nh, B1I["fs"], B1I["n"], algorithm="pallas_bank",
+        chans_per_step=2,
+    )
+    rest = B1I["ms"] - sync_blocks
+    t_track = time.perf_counter()
+    st2, out2, steady_block_s = _track_chunked(
+        lambda st, a, b: track_bank(
+            cfg_track, jnp.asarray(sys_nh.codes), st, a, b
+        ),
+        st2_init, capture, B1I["n"], rest, sync_blocks, scale,
+    )
+    track_wall = time.perf_counter() - t_track
+    dop = np.asarray(out2.carrier_doppler)
+    planted = np.asarray([d for _, d in sorted(zip(B1I["prns"], B1I["dops"]))])
+    dop_err = dop[-20:].mean(axis=0) - planted
+    # Nav bits: 20 blocks/bit, edges where (block + nh0) % 20 == 0.
+    d = np.asarray(out2.prompt_re)
+    symbols = {}
+    for ch in range(d.shape[1]):
+        s0 = int((20 - (sync_blocks + best_off[ch]) % 20) % 20)
+        dd = d[s0:, ch]
+        dd = dd[: len(dd) // 20 * 20].reshape(-1, 20).sum(axis=1)
+        symbols[ch] = np.sign(dd).astype(int).tolist()
+    report["b1i_track"] = {
+        "blocks": int(rest),
+        "track_wall_s": track_wall,
+        "blocks_per_s": rest / track_wall,
+        "realtime_factor": rest * 1e-3 / track_wall,
+        "steady_block_s": steady_block_s,
+        "steady_realtime_factor": (
+            1e-3 / steady_block_s if steady_block_s else None
+        ),
+        "final_doppler_hz": [float(x) for x in dop[-20:].mean(axis=0)],
+        "doppler_error_hz": [float(x) for x in dop_err],
+        "final_cn0_dbhz": [
+            float(x) for x in np.asarray(out2.cn0_dbhz)[-20:].mean(axis=0)
+        ],
+        "nav_bits_last10": {k_: v[-10:] for k_, v in symbols.items()},
+    }
+    assert np.all(np.abs(dop_err) < 10.0), dop_err
+    return {"doppler": dop, "prompt": d}
+
+
+def make_figure(l1, l5, b1i=None):
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    fig, axes = plt.subplots(1, 3, figsize=(13, 3.6))
+    ncols = 3 if b1i is None else 4
+    fig, axes = plt.subplots(1, ncols, figsize=(13 if ncols == 3 else 17,
+                                                3.6))
     t1 = np.arange(l1["doppler"].shape[0])
     for ch in range(l1["doppler"].shape[1]):
         axes[0].plot(t1, l1["doppler"][:, ch], lw=0.8,
@@ -437,6 +610,14 @@ def make_figure(l1, l5):
     axes[2].set(title="L5 dual: pilot lock + nav symbols",
                 xlabel="block (ms)", ylabel="prompt")
     axes[2].legend(fontsize=7)
+    if b1i is not None:
+        tb = np.arange(b1i["prompt"].shape[0])
+        for ch in range(b1i["prompt"].shape[1]):
+            axes[3].plot(tb, b1i["prompt"][:, ch], lw=0.8,
+                         label=f"PRN {sorted(B1I['prns'])[ch] + 1}")
+        axes[3].set(title="B1I: NH20-wiped prompts (50 bps nav bits)",
+                    xlabel="block (ms)", ylabel="prompt")
+        axes[3].legend(fontsize=7)
     fig.tight_layout()
     OUT_IMG.mkdir(parents=True, exist_ok=True)
     fig.savefig(OUT_IMG / "coldstart_pipeline.png", dpi=130)
@@ -449,10 +630,13 @@ if __name__ == "__main__":
     t0 = time.time()
     l1_path = cap_dir / "gpsl1_8192kHz.int8"
     l5_path = cap_dir / "gpsl5_32768kHz.int8"
+    b1i_path = cap_dir / "bdsb1i_8192kHz.int8"
     if not l1_path.exists():
         synthesize_l1(l1_path)
     if not l5_path.exists():
         synthesize_l5(l5_path)
+    if not b1i_path.exists():
+        synthesize_b1i(b1i_path)
     report = {
         "backend": jax.default_backend(),
         "device": jax.devices()[0].device_kind,
@@ -462,12 +646,16 @@ if __name__ == "__main__":
                    "fs_hz": L1["fs"], "ms": L1["ms"]},
             "l5": {"path": str(l5_path), "bytes": l5_path.stat().st_size,
                    "fs_hz": L5["fs"], "ms": L5["ms"]},
+            "b1i": {"path": str(b1i_path),
+                    "bytes": b1i_path.stat().st_size,
+                    "fs_hz": B1I["fs"], "ms": B1I["ms"]},
         },
     }
     # IQFile applies the inverse front-end scale during decode.
     l1_curves = run_l1(l1_path, report)
     l5_curves = run_l5(l5_path, report)
+    b1i_curves = run_b1i(b1i_path, report)
     report["wall_s"] = time.time() - t0
     (OUT_DATA / "observables.json").write_text(json.dumps(report, indent=1))
-    make_figure(l1_curves, l5_curves)
+    make_figure(l1_curves, l5_curves, b1i_curves)
     print(json.dumps(report, indent=1))

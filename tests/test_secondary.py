@@ -16,6 +16,7 @@ from gpuacceleratedtracking_tpu.models.gpsl5 import NH10_BITS, NH20_BITS
 from gpuacceleratedtracking_tpu.tracking import (
     TrackConfig,
     detect_secondary_offset,
+    detect_secondary_offset_windowed,
     init_state,
     track_bank,
 )
@@ -51,6 +52,30 @@ class TestDetector:
         got, conf = detect_secondary_offset(jnp.asarray(prompts), NH10)
         np.testing.assert_array_equal(np.asarray(got), offsets)
         assert np.all(np.asarray(conf) > 0.999)
+
+    def test_windowed_data_robust(self):
+        # BeiDou B1I D1 structure: overlay = NH20 x one nav bit per cycle,
+        # bit edges ON the cycle boundaries — dense random bit flips, no
+        # pilot. The whole-window detector decorrelates on windows that
+        # straddle a bit edge; the windowed detector must recover the true
+        # offset per channel with confidence ~1 anyway.
+        rng = np.random.default_rng(3)
+        B = 60
+        offsets = np.array([5, 12, 19])
+        b = np.arange(B)[:, None]
+        bits = rng.choice([-1.0, 1.0], (B // 20 + 2, len(offsets)))
+        nav = np.take_along_axis(
+            bits, (b + offsets[None, :]) // 20, axis=0)
+        prompts = 90.0 * NH20[(b + offsets[None, :]) % 20] * nav
+        prompts = prompts + rng.normal(0, 9.0, prompts.shape)
+        got, conf = detect_secondary_offset_windowed(
+            jnp.asarray(prompts), NH20)
+        np.testing.assert_array_equal(np.asarray(got), offsets)
+        assert np.all(np.asarray(conf) > 0.9), np.asarray(conf)
+
+    def test_windowed_needs_enough_blocks(self):
+        with pytest.raises(ValueError):
+            detect_secondary_offset_windowed(jnp.ones(30), NH20)
 
 
 class TestOverlayTracking:
