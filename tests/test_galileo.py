@@ -204,6 +204,43 @@ class TestAcquisition:
 
 
 class TestClosedLoop:
+    def test_e1b_data_channel_costas(self):
+        # E1-B (data component): 250 sps nav symbols = one sign per 4 ms
+        # primary period, no overlay. The default Costas discriminators are
+        # symbol-sign-invariant; Doppler must converge through random data.
+        system = GalileoE1()           # E1-B
+        N, num_ms, K = 8192, 200, 2
+        fs = N / 1e-3
+        dops = np.array([600.0, -900.0])
+        rng = np.random.default_rng(8)
+        sigs = []
+        for prn, d in enumerate(dops):
+            scale = 1.0 + d / system.center_frequency
+            symbols = rng.choice([-1.0, 1.0], num_ms // 4 + 2)
+            s, _ = gen_signal(
+                system, prn, d, N * num_ms, duration=num_ms * 1e-3,
+                code_frequency=system.code_frequency * scale,
+                secondary_code=symbols,    # one sign per 4 ms period
+            )
+            sigs.append(s)
+        mixed = sigs[0] + sigs[1]
+        sre, sim = (np.asarray(x).reshape(num_ms, N) for x in soa(mixed))
+        config = TrackConfig.for_system(
+            system, fs, N, algorithm="pallas_bank_auto",
+        )
+        assert config.secondary_code == ()     # nothing to wipe: data, not NH
+        states = init_state(np.arange(K), carrier_doppler=dops + 25.0)
+        _, out = track_bank(
+            config, jnp.asarray(system.codes), states,
+            jnp.asarray(sre), jnp.asarray(sim),
+        )
+        final_dop = np.asarray(out.carrier_doppler)[-20:].mean(axis=0)
+        np.testing.assert_allclose(final_dop, dops, atol=5.0)
+        p = np.hypot(
+            np.asarray(out.prompt_re)[-20:], np.asarray(out.prompt_im)[-20:]
+        )
+        assert np.all(p > 0.6 * N), p.min()
+
     def test_pilot_tracks_with_cs25_overlay(self):
         # E1-C closed loop: CS25 overlay wipe-off across the 4 ms primary
         # period (one sign per 4 blocks — `TrackConfig.for_system` expands
