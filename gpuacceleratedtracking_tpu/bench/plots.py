@@ -151,6 +151,13 @@ def plot_track_benchmark(df, out_path: str):
         df = df.assign(num_ants=1)
     if "GNSS" not in df:
         df = df.assign(GNSS="GPSL1")
+    # Sweep configs that omit defaulted keys (num_ants for M=1 family rows,
+    # L=3) read back as NaN, and pandas groupby DROPS NaN keys — which
+    # silently removed those lines from the figure. Fill the defaults.
+    df = df.assign(
+        num_ants=df.num_ants.fillna(1),
+        num_correlators=df.num_correlators.fillna(3),
+    )
     # Mixed-constellation rows (no num_channels axis) live in their own
     # table (eval_summary); this figure plots K-sweeps only.
     df = df[df.num_channels.notna()] if "num_channels" in df else df
