@@ -49,7 +49,10 @@ from gpuacceleratedtracking_tpu.tracking import (
 )
 
 N = 32768            # all families at 32.768 MHz front ends
-BLOCKS = 8
+# 32-block differential (the deep protocol rerun_noisy_track uses): at
+# ~1.5 ms/block the 8-block differential leaves single trials exposed to
+# multi-ms tunnel jitter (one 2.16 ms outlier trial in the first run).
+BLOCKS = 32
 TRIALS = 7
 # (K_l1, K_glo, K_e1c, K_b1i, K_l5dual). 256+64+64+64+16 = 464 satellite
 # channels; every launch-shape key is in the committed autotune cache.
